@@ -1,0 +1,45 @@
+"""Engine configuration shared by the Spark scheduler and the golden refspec.
+
+The reference's analog is the per-container settings dict consumed by
+container_crawler/__init__.py Crawler.__init__ (workers, items_chunk,
+interval, bulk_process…). Here the knobs are crawl semantics: politeness
+budgets, retry limit, bucket count. Budgets are config, not a table
+(FIXTURES.md §3) — the Spark side turns the dict into a small broadcast
+dimension DataFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # number of host_bucket partitions; each bucket exclusively owns its
+    # slice of the frontier (the reference's ring/replica ownership, R3/R4)
+    n_buckets: int = 64
+    # per-host politeness budget: URLs scheduled per host per cycle
+    budgets: dict = field(default_factory=dict)
+    default_budget: int = 8
+    # failed fetches are retried this many times before state='error'
+    # (RetryError analog, SURVEY R10); checkpoint still advances because the
+    # row stays pending in the next snapshot.
+    retry_limit: int = 1
+    # discovered links inherit parent priority minus this decay (floor 0)
+    link_priority_decay: int = 1
+    # cuckoo-filter URL-seen prefilter (exact-confirm; membership.py)
+    use_seen_filter: bool = True
+    # consolidate url_seen deltas every N cycles (tableio compaction)
+    compact_every: int = 8
+
+    def budget_of(self, host: str) -> int:
+        return self.budgets.get(host, self.default_budget)
+
+
+def config_for_fixture(fix_cfg) -> EngineConfig:
+    """EngineConfig matching a fixtures.FixtureConfig's politeness rules."""
+    return EngineConfig(
+        n_buckets=fix_cfg.n_buckets,
+        budgets=fix_cfg.budgets(),
+        retry_limit=fix_cfg.retry_limit,
+    )

@@ -1,0 +1,80 @@
+"""Extraction spec + link discovery over the ``html BINARY`` column.
+
+This is the engine's analog of the reference's pluggable handler
+(container_crawler/base_handler.py BaseHandler.handle(row, client) — the
+per-row side-effecting "map" of the system). Here the handler contract is:
+given a fetched page's bytes, produce (a) the extracted text and (b) the
+discovered outlinks. The input_hint pins the per-row invariant: extracted
+text must be byte-identical to the stored ``text`` column for every url.
+
+``ref_extract`` is the pure-Python spec (the oracle). The Spark twin is an
+Arrow-batched pandas UDF over the same function — never row-at-a-time
+``F.udf``. The fixtures generator (fixtures.py) guarantees
+``ref_extract(html) == text`` byte-for-byte, which makes the pytest
+byte-identity gate well-defined (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+_LINK_RE = re.compile(r'<a href="([^"]*)"')
+
+
+def ref_extract(html: bytes | None) -> str:
+    """Spec: decode UTF-8, take the FIRST ``<p>…</p>`` inner content,
+    HTML-unescape it. Missing/invalid page -> empty string."""
+    if not html:
+        return ""
+    try:
+        s = html.decode("utf-8")
+    except UnicodeDecodeError:
+        return ""
+    i = s.find("<p>")
+    if i < 0:
+        return ""
+    j = s.find("</p>", i)
+    if j < 0:
+        return ""
+    return _htmllib.unescape(s[i + 3 : j])
+
+
+def discover_links(html: bytes | None) -> list[str]:
+    """Spec: every ``<a href="...">`` attribute value, document order,
+    raw (un-canonicalized) spelling preserved."""
+    if not html:
+        return []
+    try:
+        s = html.decode("utf-8")
+    except UnicodeDecodeError:
+        return []
+    return _LINK_RE.findall(s)
+
+
+# ---------------------------------------------------------------------------
+# Spark side — Arrow-batched pandas UDFs.
+# ---------------------------------------------------------------------------
+
+def extract_udf():
+    """``pandas_udf``: BINARY html -> STRING extracted text."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _extract(htmls):
+        return htmls.map(ref_extract)
+
+    return _extract
+
+
+def links_udf():
+    """``pandas_udf``: BINARY html -> ARRAY<STRING> raw outlinks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _links(htmls):
+        return htmls.map(discover_links)
+
+    return _links

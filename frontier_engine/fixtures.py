@@ -1,0 +1,228 @@
+"""Deterministic synthetic crawl fixtures (FIXTURES.md) — pages/seeds/robots.
+
+Everything is a pure function of the row index (seeded PRNG keyed on the
+index; never wall-clock), so any scale factor regenerates bit-identically.
+The generator guarantees the extraction invariant
+``ref_extract(html) == text`` byte-for-byte (BASELINE.json:15) and embeds a
+deterministic link graph so multi-cycle crawls exercise discovery, dedup,
+politeness deferral, robots skips, and missing-page retry/error paths.
+
+Plays the role of the reference's mocked Swift container DBs
+(tests/unit/test_container_crawler.py patches ContainerBroker/Ring/handlers;
+we patch the *web* instead with deterministic parquet).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import os
+import random
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+LANGS = ["en", "es", "de", "zh", "fr"]
+
+VOCAB = [
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
+    "window", "small", "hash", "join", "spark", "group", "query", "row",
+    "data", "slow", "filter", "customer", "line", "batch", "value", "stream",
+    "page", "crawl", "host", "link", "fetch", "queue", "shard", "state",
+    "cycle", "snapshot", "budget", "robot", "frontier", "seed", "depth",
+]
+
+
+def sf_n_urls(sf: float) -> int:
+    """FIXTURES.md scale knob: sf0.001 -> 2,000 ... sf0.1 -> 200,000."""
+    return int(round(sf * 2_000_000))
+
+
+@dataclass(frozen=True)
+class FixtureConfig:
+    n_urls: int
+    skew: bool = False
+    retry_limit: int = 1
+    n_buckets: int = 64
+    cycles: int = 3
+
+    @property
+    def n_hosts(self) -> int:
+        return max(10, self.n_urls // 200)
+
+    @property
+    def pad(self) -> int:
+        # link targets in [n_urls, n_urls+pad) have no page -> fetch errors
+        return max(1, self.n_urls // 50)
+
+    @property
+    def n_seeds(self) -> int:
+        return max(50, self.n_urls // 100)
+
+    # ---- per-row pure functions -------------------------------------
+
+    def host_idx(self, i: int) -> int:
+        if self.skew and i % 10 < 3:  # 30% of URLs on host0 (skew fixture)
+            return 0
+        return i % self.n_hosts
+
+    def host(self, i: int) -> str:
+        return f"host{self.host_idx(i)}.example.com"
+
+    def canon_url(self, i: int) -> str:
+        return f"https://{self.host(i)}/p/{i}?a={i % 5}&b={i % 7}"
+
+    def raw_url(self, i: int) -> str:
+        """Raw spelling as it appears in the pages table / link hrefs."""
+        if i % 97 == 0 and i >= 97:
+            # duplicate of row i-97's canonical URL in a different spelling
+            j = i - 97
+            return (
+                f"HTTPS://{self.host(j).upper()}:443/p/{j}"
+                f"?b={j % 7}&a={j % 5}#dup{i}"
+            )
+        if i % 13 == 0:
+            h = self.host(i)
+            hm = h[:4].upper() + h[4:].capitalize()  # e.g. HOSTN.example.com-ish
+            return f"https://{hm}/p/{i}?b={i % 7}&a={i % 5}#frag"
+        return f"https://{self.host(i)}/p/{i}?b={i % 7}&a={i % 5}"
+
+    def text(self, i: int) -> str:
+        rng = random.Random(1_000_003 * i + 42)
+        words = [rng.choice(VOCAB) for _ in range(rng.randint(5, 60))]
+        if i % 20 == 0:  # ~5% non-ASCII rows pin UTF-8 byte identity
+            words.extend(["café", "日本語"])
+        return " ".join(words)
+
+    def link_targets(self, i: int) -> list[int]:
+        if i % 3 == 2:  # some pages have no outlinks
+            return []
+        return [
+            (i * 31 + 7) % (self.n_urls + self.pad),
+            (i * 17 + 3) % self.n_urls,
+        ]
+
+    def link_href(self, t: int) -> str:
+        if t < self.n_urls:
+            return self.raw_url(t)
+        # target beyond the corpus: canonical spelling, page does not exist
+        h = f"host{t % self.n_hosts}.example.com"
+        return f"https://{h}/p/{t}?a={t % 5}&b={t % 7}"
+
+    def html(self, i: int) -> bytes:
+        esc = _htmllib.escape(self.text(i), quote=False)
+        links = "".join(
+            f'<li><a href="{self.link_href(t)}">l</a></li>'
+            for t in self.link_targets(i)
+        )
+        body = f"<p>{esc}</p>" + (f"<ul>{links}</ul>" if links else "")
+        return (
+            f"<html><head><title>doc {i}</title></head>"
+            f"<body>{body}</body></html>"
+        ).encode("utf-8")
+
+    def warc_ts(self, i: int) -> datetime:
+        return T0 + timedelta(seconds=137 * i)
+
+    def lang(self, i: int) -> str:
+        return LANGS[i % 5]
+
+    # ---- politeness ---------------------------------------------------
+
+    def budget_of_host_idx(self, h: int) -> int:
+        return max(1, 8 - (h % 4))
+
+    def budgets(self) -> dict[str, int]:
+        return {
+            f"host{h}.example.com": self.budget_of_host_idx(h)
+            for h in range(self.n_hosts)
+        }
+
+    def robots_rows(self) -> list[dict]:
+        rows = []
+        for h in range(self.n_hosts):
+            disallow = ["/private/"]
+            if h % 11 == 0:
+                disallow.append("/p/")  # skip-container analog (SURVEY R11)
+            rows.append(
+                {
+                    "host": f"host{h}.example.com",
+                    "disallow": disallow,
+                    "crawl_delay_ms": 250 * (1 + h % 4),
+                    "fetched_ts": T0,
+                }
+            )
+        return rows
+
+    def seed_rows(self) -> list[dict]:
+        rows = []
+        i = 0
+        while len(rows) < self.n_seeds and i < self.n_urls:
+            if i % 17 == 0:
+                rows.append({"url": self.canon_url(i), "priority": 100 - (i % 10)})
+            i += 1
+        return rows
+
+
+def generate(out_dir: str, cfg: FixtureConfig) -> None:
+    """Write pages.parquet / seeds.parquet / robots.parquet under out_dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = cfg.n_urls
+
+    pages = pa.table(
+        {
+            "url": pa.array([cfg.raw_url(i) for i in range(n)], pa.string()),
+            "warc_ts": pa.array(
+                [cfg.warc_ts(i) for i in range(n)], pa.timestamp("us", tz="UTC")
+            ),
+            "html": pa.array([cfg.html(i) for i in range(n)], pa.binary()),
+            "text": pa.array([cfg.text(i) for i in range(n)], pa.string()),
+            "lang": pa.array([cfg.lang(i) for i in range(n)], pa.string()),
+        }
+    )
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+
+    seeds = cfg.seed_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r["url"] for r in seeds], pa.string()),
+                "priority": pa.array([r["priority"] for r in seeds], pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "seeds.parquet"),
+    )
+
+    robots = cfg.robots_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array([r["host"] for r in robots], pa.string()),
+                "disallow": pa.array(
+                    [r["disallow"] for r in robots], pa.list_(pa.string())
+                ),
+                "crawl_delay_ms": pa.array(
+                    [r["crawl_delay_ms"] for r in robots], pa.int32()
+                ),
+                "fetched_ts": pa.array(
+                    [r["fetched_ts"] for r in robots], pa.timestamp("us", tz="UTC")
+                ),
+            }
+        ),
+        os.path.join(out_dir, "robots.parquet"),
+    )
+
+
+def ensure_fixtures(base_dir: str, n_urls: int, skew: bool = False) -> str:
+    """Generate-once cache; returns the fixture directory."""
+    tag = f"n{n_urls}" + ("-skew" if skew else "")
+    out = os.path.join(base_dir, tag)
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate(out, FixtureConfig(n_urls=n_urls, skew=skew))
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return out

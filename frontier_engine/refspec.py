@@ -1,0 +1,255 @@
+"""Golden single-threaded crawl scheduler — the executable reference spec.
+
+The real reference (thiagodasilva/container-crawler) is a change-scanning
+framework, not a crawler; its correctness contract is behavioral — checkpoint
+advances iff every row of the batch succeeded, ownership sharding is exact,
+per-container stats equal the work performed (tests/unit/
+test_container_crawler.py, the "Processed N rows; verified M rows"
+assertions). This module is the web-scale restatement of that contract as an
+executable oracle: a single-threaded pure-Python scheduler that defines the
+EXACT crawl ordering, URL-seen membership, per-bucket lineage counts, and
+retry/error semantics the Spark pipeline must reproduce (BASELINE.json:2
+"crawl-order and URL-seen match vs reference under fixed seed list +
+politeness budget").
+
+Cycle-k semantics (normative; scheduler.py mirrors this stage for stage):
+
+1. INGEST discoveries of cycle k-1 (cycle 1 ingests the seed list):
+   canonicalize -> xxhash64 -> host/host_bucket; occurrences whose hash is
+   already in url_seen are dropped (deduped++ at the candidate's bucket);
+   remaining occurrences are grouped by hash keeping max(priority) (extra
+   occurrences deduped++); admitted rows enter `pending` with
+   crawl_ts = discovered_ts, retries = 0, and their hash enters url_seen.
+2. rows_scanned(bucket) = |pending in bucket| after ingest.
+3. ROBOTS: pending rows whose path starts with any disallow prefix of their
+   host leave the frontier permanently (robots_skipped++; state='skipped').
+4. BUDGET: per host, order pending by (priority DESC, crawl_ts ASC,
+   url_hash ASC) and schedule the first budget(host); enqueued++ per bucket.
+   The scheduled batch of a bucket is ordered by the same total key.
+5. FETCH each scheduled row: page present -> extract text (byte-identical by
+   construction), state='done', fetched_ok++, outlinks become cycle-k
+   discoveries with priority max(0, parent-decay) and
+   discovered_ts = T0 + k hours. Page missing -> errors++; if
+   retries < retry_limit the row stays pending with retries+1, else it
+   leaves the frontier with state='error'.
+6. Commit: url_seen delta, lineage rows, scheduled batch, pending carry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import timedelta
+
+from .canon import canonicalize, host_of, path_of
+from .config import EngineConfig
+from .extract import discover_links, ref_extract
+from .fixtures import T0
+from .xxh import pmod_bucket, xxhash64_str
+
+LINEAGE_FIELDS = (
+    "rows_scanned",
+    "enqueued",
+    "deduped",
+    "errors",
+    "robots_skipped",
+    "discovered",
+    "fetched_ok",
+)
+
+
+@dataclass
+class PendingRow:
+    url_canon: str
+    url_hash: int
+    host: str
+    host_bucket: int
+    priority: int
+    crawl_ts: object  # datetime
+    discovered_ts: object
+    retries: int = 0
+
+
+@dataclass
+class RefResult:
+    # cycle -> bucket -> ordered list of scheduled tuples
+    # (url_canon, url_hash, host, priority, crawl_ts_epoch_us, retries)
+    scheduled: dict = field(default_factory=dict)
+    # cycle -> {(cycle,bucket) lineage counts}
+    lineage: dict = field(default_factory=dict)
+    # final url_seen membership
+    seen: set = field(default_factory=set)
+    # cycle -> set of url_hash admitted that cycle (url_seen deltas)
+    seen_delta: dict = field(default_factory=dict)
+    # final pending carry: url_hash -> PendingRow
+    pending: dict = field(default_factory=dict)
+    # url_hash -> final state for resolved rows ('done'|'error'|'skipped')
+    resolved: dict = field(default_factory=dict)
+
+
+def _epoch_us(dt) -> int:
+    return int(dt.timestamp() * 1_000_000)
+
+
+def load_pages_lookup(pages_rows) -> dict:
+    """canonical url -> (html, text); duplicate canonicals keep the row with
+    the smallest (warc_ts, url) — mirrors the Spark pages_canon dedup."""
+    lookup = {}
+    for r in pages_rows:
+        c = canonicalize(r["url"])
+        key = (r["warc_ts"], r["url"])
+        if c not in lookup or key < lookup[c][0]:
+            lookup[c] = (key, r["html"], r["text"])
+    return {c: (h, t) for c, (_, h, t) in lookup.items()}
+
+
+def run(
+    pages_rows: list[dict],
+    seed_rows: list[dict],
+    robots_rows: list[dict],
+    cfg: EngineConfig,
+    cycles: int,
+    start_cycle: int = 1,
+    state: RefResult | None = None,
+    carry_discoveries: list | None = None,
+) -> RefResult:
+    """Run `cycles` crawl cycles; returns the full golden trace.
+
+    ``state``/``carry_discoveries``/``start_cycle`` allow split runs for the
+    resume-equivalence test (run 1..k, then k+1..n must equal 1..n).
+    """
+    pages = load_pages_lookup(pages_rows)
+    robots = {r["host"]: list(r["disallow"]) for r in robots_rows}
+
+    res = state if state is not None else RefResult()
+    pending = res.pending
+    seen = res.seen
+
+    if carry_discoveries is not None:
+        discoveries = list(carry_discoveries)
+    else:
+        discoveries = [
+            (r["url"], int(r["priority"]), T0) for r in seed_rows
+        ]
+
+    for k in range(start_cycle, start_cycle + cycles):
+        lin: dict[int, dict[str, int]] = {}
+
+        def bump(bucket: int, field_: str, n: int = 1) -> None:
+            d = lin.setdefault(bucket, {f: 0 for f in LINEAGE_FIELDS})
+            d[field_] += n
+
+        # -- 1. ingest -------------------------------------------------
+        grouped: dict[int, PendingRow] = {}
+        for raw, prio, dts in discoveries:
+            c = canonicalize(raw)
+            h = xxhash64_str(c)
+            host = host_of(c)
+            bucket = pmod_bucket(host, cfg.n_buckets)
+            if h in seen:
+                bump(bucket, "deduped")
+                continue
+            if h in grouped:
+                bump(bucket, "deduped")
+                if prio > grouped[h].priority:
+                    grouped[h].priority = prio
+                continue
+            grouped[h] = PendingRow(
+                url_canon=c,
+                url_hash=h,
+                host=host,
+                host_bucket=bucket,
+                priority=prio,
+                crawl_ts=dts,
+                discovered_ts=dts,
+            )
+        res.seen_delta[k] = set(grouped.keys())
+        for h, row in grouped.items():
+            seen.add(h)
+            pending[h] = row
+            bump(row.host_bucket, "discovered")
+
+        # -- 2. rows_scanned --------------------------------------------
+        for row in pending.values():
+            bump(row.host_bucket, "rows_scanned")
+
+        # -- 3. robots ---------------------------------------------------
+        for h in list(pending.keys()):
+            row = pending[h]
+            dis = robots.get(row.host, [])
+            p = path_of(row.url_canon)
+            if any(p.startswith(d) for d in dis):
+                bump(row.host_bucket, "robots_skipped")
+                res.resolved[h] = "skipped"
+                del pending[h]
+
+        # -- 4. budget ----------------------------------------------------
+        by_host: dict[str, list[PendingRow]] = {}
+        for row in pending.values():
+            by_host.setdefault(row.host, []).append(row)
+        scheduled: list[PendingRow] = []
+        for host, rows in by_host.items():
+            rows.sort(key=lambda r: (-r.priority, r.crawl_ts, r.url_hash))
+            scheduled.extend(rows[: cfg.budget_of(host)])
+        for row in scheduled:
+            bump(row.host_bucket, "enqueued")
+
+        by_bucket: dict[int, list[PendingRow]] = {}
+        for row in scheduled:
+            by_bucket.setdefault(row.host_bucket, []).append(row)
+        res.scheduled[k] = {
+            b: [
+                (
+                    r.url_canon,
+                    r.url_hash,
+                    r.host,
+                    r.priority,
+                    _epoch_us(r.crawl_ts),
+                    r.retries,
+                )
+                for r in sorted(
+                    rows, key=lambda r: (-r.priority, r.crawl_ts, r.url_hash)
+                )
+            ]
+            for b, rows in by_bucket.items()
+        }
+
+        # -- 5. fetch -------------------------------------------------------
+        next_dts = T0 + timedelta(hours=k)
+        next_discoveries = []
+        for row in scheduled:
+            page = pages.get(row.url_canon)
+            if page is None:
+                bump(row.host_bucket, "errors")
+                if row.retries < cfg.retry_limit:
+                    row.retries += 1  # stays pending; retried next cycle
+                else:
+                    res.resolved[row.url_hash] = "error"
+                    del pending[row.url_hash]
+                continue
+            html, text = page
+            extracted = ref_extract(html)
+            assert extracted == text, "fixture extraction invariant broken"
+            bump(row.host_bucket, "fetched_ok")
+            res.resolved[row.url_hash] = "done"
+            del pending[row.url_hash]
+            child_prio = max(0, row.priority - cfg.link_priority_decay)
+            for href in discover_links(html):
+                next_discoveries.append((href, child_prio, next_dts))
+
+        res.lineage[k] = lin
+        discoveries = next_discoveries
+
+    res.carry_discoveries = discoveries  # type: ignore[attr-defined]
+    return res
+
+
+def read_fixture_rows(fixture_dir: str):
+    """Read pages/seeds/robots parquet as plain python rows (pyarrow only)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def rows(name):
+        return pq.read_table(os.path.join(fixture_dir, name)).to_pylist()
+
+    return rows("pages.parquet"), rows("seeds.parquet"), rows("robots.parquet")

@@ -1,0 +1,111 @@
+"""Pure-Python unit tests: xxh64 vectors, canonicalization spec, extraction,
+fixture invariants, refspec sanity. No Spark needed."""
+
+from frontier_engine.canon import canonicalize, host_of, path_of
+from frontier_engine.config import config_for_fixture
+from frontier_engine.extract import discover_links, ref_extract
+from frontier_engine.fixtures import FixtureConfig
+from frontier_engine.xxh import xxh64
+
+
+def test_xxh64_known_vectors():
+    # published XXH64 reference vectors (seed 0)
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+    assert xxh64(b"a", 0) == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc", 0) == 0x44BC2CF5AD770999
+    # length >= 32 exercises the stripe loop
+    assert xxh64(b"0123456789abcdef0123456789abcdef0123", 0) != xxh64(
+        b"0123456789abcdef0123456789abcdef0124", 0
+    )
+
+
+def test_canonicalize_spec():
+    f = canonicalize
+    assert f("HTTPS://HOST0.EXAMPLE.COM:443/p/1?b=2&a=1#x") == (
+        "https://host0.example.com/p/1?a=1&b=2"
+    )
+    assert f("http://h.com:80/") == "http://h.com/"
+    assert f("http://h.com:8080/x") == "http://h.com:8080/x"
+    assert f("http://h.com") == "http://h.com/"
+    assert f("http://h.com/a/./b/../c") == "http://h.com/a/c"
+    assert f("http://h.com/%7Euser/%2fx%2F") == "http://h.com/~user/%2Fx%2F"
+    assert f("http://h.com/?") == "http://h.com/"
+    assert f("http://h.com/?b=1&&a=2") == "http://h.com/?a=2&b=1"
+    assert f("http://u:p@h.com/x") == "http://u:p@h.com/x"
+    assert f("http://h.com/100%") == "http://h.com/100%"  # malformed escape kept
+    assert host_of("https://u@h.com:8080/x") == "h.com:8080"
+    assert path_of("https://h.com/p/1?a=2") == "/p/1"
+    # idempotent
+    for u in ["HTTP://A.B:80/x/../y?z=%41&a=%7e#f", "https://h.com/p?b=2&a=1"]:
+        assert f(f(u)) == f(u)
+
+
+def test_extract_and_links():
+    cfg = FixtureConfig(n_urls=2000)
+    for i in [0, 1, 2, 13, 20, 97, 194, 1261, 1999]:
+        assert ref_extract(cfg.html(i)) == cfg.text(i)
+        links = discover_links(cfg.html(i))
+        assert links == [cfg.link_href(t) for t in cfg.link_targets(i)]
+    assert ref_extract(None) == ""
+    assert ref_extract(b"<html><body>no para</body></html>") == ""
+
+
+def test_fixture_dup_and_messy_spellings():
+    cfg = FixtureConfig(n_urls=2000)
+    # 97-rule: raw spelling canonicalizes to row i-97's canonical URL
+    assert canonicalize(cfg.raw_url(194)) == cfg.canon_url(97)
+    # 13-rule: messy spelling canonicalizes to own canonical URL
+    assert canonicalize(cfg.raw_url(13)) == cfg.canon_url(13)
+    # plain rows
+    assert canonicalize(cfg.raw_url(1)) == cfg.canon_url(1)
+
+
+def test_refspec_three_cycles(tiny_fixture_dir):
+    from frontier_engine.refspec import read_fixture_rows, run
+
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    fix = FixtureConfig(n_urls=2000)
+    cfg = config_for_fixture(fix)
+    res = run(pages, seeds, robots, cfg, cycles=3)
+
+    # cycle 1: seeds admitted = 50 distinct canonicals
+    lin1 = res.lineage[1]
+    assert sum(d["discovered"] for d in lin1.values()) == 50
+    assert sum(d["rows_scanned"] for d in lin1.values()) == 50
+    # host0 is robots-blocked (h%11==0 disallows /p/) — its seeds skip
+    assert sum(d["robots_skipped"] for d in lin1.values()) > 0
+    # budgets bound the per-cycle schedule
+    total_sched1 = sum(len(v) for v in res.scheduled[1].values())
+    assert 0 < total_sched1 <= sum(d["enqueued"] for d in lin1.values())
+    # discovery grows the frontier in cycle 2
+    assert sum(d["discovered"] for d in res.lineage[2].values()) > 0
+    # dedup fired at some point over 3 cycles
+    assert sum(
+        d["deduped"] for lin in res.lineage.values() for d in lin.values()
+    ) > 0
+    # url_seen == admitted rows == resolved + pending
+    assert len(res.seen) == len(res.resolved) + len(res.pending)
+    # scheduled order is per-bucket sorted by (prio desc, ts, hash)
+    for cyc in res.scheduled.values():
+        for rows in cyc.values():
+            keys = [(-p, ts, h) for (_, h, _, p, ts, _) in rows]
+            assert keys == sorted(keys)
+
+
+def test_refspec_split_run_equals_full(tiny_fixture_dir):
+    """Resume contract: run(1..3) == run(1..2) then continue(3)."""
+    from frontier_engine.refspec import read_fixture_rows, run
+
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    cfg = config_for_fixture(FixtureConfig(n_urls=2000))
+
+    full = run(pages, seeds, robots, cfg, cycles=3)
+    part = run(pages, seeds, robots, cfg, cycles=2)
+    cont = run(
+        pages, seeds, robots, cfg, cycles=1, start_cycle=3,
+        state=part, carry_discoveries=part.carry_discoveries,
+    )
+    assert cont.scheduled[3] == full.scheduled[3]
+    assert cont.lineage[3] == full.lineage[3]
+    assert cont.seen == full.seen
+    assert set(cont.pending) == set(full.pending)
