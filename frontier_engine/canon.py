@@ -25,8 +25,6 @@ The vectorized Spark form is an Arrow-batched pandas UDF wrapping the same
 function (input_hint: pandas/Arrow UDFs only, no per-row Python ``F.udf``).
 """
 
-from __future__ import annotations
-
 import string
 from urllib.parse import urlsplit
 
@@ -142,15 +140,38 @@ def path_of(url_canon: str) -> str:
 
 def canon_udf():
     """``pandas_udf`` canonicalizing a STRING column (Arrow-batched)."""
-    import pandas as pd  # noqa: F401  (kept local: executors re-import)
+    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.StringType())
-    def _canon(urls):
+    def _canon(urls: pd.Series) -> pd.Series:
         return urls.map(lambda u: canonicalize(u) if u is not None else None)
 
-    return _canon
+    return F.pandas_udf(_canon, T.StringType())
+
+
+def canon_host_udf():
+    """``pandas_udf``: raw url STRING -> STRUCT<url_canon, host> in one
+    Arrow round-trip (half the Python-boundary cost of two UDFs)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url_canon", T.StringType()),
+            T.StructField("host", T.StringType()),
+        ]
+    )
+
+    def _canon_host(urls: pd.Series) -> pd.DataFrame:
+        canons = urls.map(lambda u: canonicalize(u) if u is not None else None)
+        hosts = canons.map(lambda c: host_of(c) if c is not None else None)
+        return pd.DataFrame({"url_canon": canons, "host": hosts})
+
+    _canon_host = F.pandas_udf(_canon_host, schema)
+
+    return _canon_host
 
 
 def host_udf():

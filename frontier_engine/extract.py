@@ -14,8 +14,6 @@ Arrow-batched pandas UDF over the same function — never row-at-a-time
 byte-identity gate well-defined (BASELINE.json:15).
 """
 
-from __future__ import annotations
-
 import html as _htmllib
 import re
 
@@ -58,23 +56,23 @@ def discover_links(html: bytes | None) -> list[str]:
 
 def extract_udf():
     """``pandas_udf``: BINARY html -> STRING extracted text."""
+    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.StringType())
-    def _extract(htmls):
+    def _extract(htmls: pd.Series) -> pd.Series:
         return htmls.map(ref_extract)
 
-    return _extract
+    return F.pandas_udf(_extract, T.StringType())
 
 
 def links_udf():
     """``pandas_udf``: BINARY html -> ARRAY<STRING> raw outlinks."""
+    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _links(htmls):
+    def _links(htmls: pd.Series) -> pd.Series:
         return htmls.map(discover_links)
 
-    return _links
+    return F.pandas_udf(_links, T.ArrayType(T.StringType()))

@@ -1,0 +1,351 @@
+"""Cuckoo-filter URL-seen prefilter, bloom fallback for cold partitions.
+
+North-star operator with no reference analog (the reference's "seen" set is
+implied by sqlite ROWID monotonicity + the last_row checkpoint). Semantics:
+
+- one filter per host_bucket partition, persisted as an .npz sidecar under
+  ``<root>/filters/cycle=<k>/bucket=<b>.npz``;
+- a filter answers "definitely not seen" / "maybe seen"; the engine routes
+  maybe-seen candidates through the EXACT left-anti join against url_seen,
+  so filter false positives cost time, never correctness, and the URL-seen
+  membership stays exactly reproducible (BASELINE.json:2);
+- filters are maintained INCREMENTALLY: each cycle's url_seen delta is
+  inserted into the previous cycle's filter inside a grouped-map
+  ``applyInPandas`` task (one task per bucket — the same exclusive-ownership
+  sharding as the reference's per-container workers);
+- a cold bucket (no sidecar yet, or a cuckoo filter that overflowed) is
+  rebuilt from the bucket's FULL url_seen as a bloom filter — fully
+  vectorized numpy, no per-item loop — per the north star's "bloom fallback
+  for cold partitions";
+- staleness is safe: if the newest sidecar lags the newest url_seen delta,
+  the scheduler exact-joins "definite new" candidates against the missing
+  delta range (scheduler.py split_by_filter call site).
+
+All bit-twiddling is numpy-vectorized for lookups and bloom builds; only the
+cuckoo insert path walks items (it touches only the small per-cycle delta).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+
+_FP_MASK = np.uint64(0xFFFF)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_SLOTS = 4
+_MAX_KICKS = 500
+_CUCKOO_MAX_ITEMS = 4_000_000  # above this a fresh build uses bloom
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+class CuckooFilter:
+    """16-bit fingerprints, 4-slot buckets, deterministic eviction."""
+
+    kind = "cuckoo"
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        self.n_buckets = n_buckets
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
+        )
+
+    @classmethod
+    def with_capacity(cls, n: int) -> "CuckooFilter":
+        nb = _next_pow2(max(16, int(n / (_SLOTS * 0.84)) + 1))
+        return cls(nb)
+
+    def _fp_i1_i2(self, h: np.ndarray):
+        h = h.astype(np.uint64)
+        fp = (h & _FP_MASK).astype(np.uint64)
+        fp = np.where(fp == 0, np.uint64(1), fp)
+        mask = np.uint64(self.n_buckets - 1)
+        i1 = (h >> np.uint64(16)) & mask
+        i2 = (i1 ^ ((fp * _MIX) >> np.uint64(32))) & mask
+        return fp.astype(np.uint16), i1.astype(np.int64), i2.astype(np.int64)
+
+    def insert_many(self, hashes: np.ndarray) -> bool:
+        """Insert all; False if any insertion failed (overflow)."""
+        fps, i1s, i2s = self._fp_i1_i2(hashes)
+        t = self.table
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            placed = False
+            for idx in (i1, i2):
+                row = t[idx]
+                for s in range(_SLOTS):
+                    if row[s] == 0:
+                        row[s] = fp
+                        placed = True
+                        break
+                if placed:
+                    break
+            if placed:
+                continue
+            # deterministic eviction walk
+            cur_fp, cur_idx = fp, i2
+            ok = False
+            for kick in range(_MAX_KICKS):
+                s = kick % _SLOTS
+                cur_fp, t[cur_idx][s] = int(t[cur_idx][s]), cur_fp
+                mask = np.uint64(self.n_buckets - 1)
+                alt = int(
+                    (np.uint64(cur_idx)
+                     ^ ((np.uint64(cur_fp) * _MIX) >> np.uint64(32))) & mask
+                )
+                row = t[alt]
+                placed2 = False
+                for s2 in range(_SLOTS):
+                    if row[s2] == 0:
+                        row[s2] = cur_fp
+                        placed2 = True
+                        break
+                if placed2:
+                    ok = True
+                    break
+                cur_idx = alt
+            if not ok:
+                return False
+        return True
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership test -> bool array ("maybe seen")."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1s, i2s = self._fp_i1_i2(hashes)
+        t = self.table
+        hit1 = (t[i1s] == fps[:, None]).any(axis=1)
+        hit2 = (t[i2s] == fps[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def save(self, path: str) -> None:
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, kind=np.array(["cuckoo"]), table=self.table)
+        os.rename(tmp, path)
+
+
+class BloomFilter:
+    """Blocked-free classic bloom: m bits, 4 double-hashed probes; build and
+    lookup fully vectorized."""
+
+    kind = "bloom"
+    K = 4
+
+    def __init__(self, n_bits: int, words: np.ndarray | None = None):
+        self.n_bits = n_bits
+        self.words = (
+            words if words is not None else np.zeros(n_bits // 64, dtype=np.uint64)
+        )
+
+    @classmethod
+    def with_capacity(cls, n: int) -> "BloomFilter":
+        bits = max(1024, _next_pow2(n * 12))
+        return cls(bits)
+
+    def _probes(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint64)
+        h2 = (h * _MIX) | np.uint64(1)
+        mask = np.uint64(self.n_bits - 1)
+        return np.stack(
+            [(h + np.uint64(j) * h2) & mask for j in range(self.K)]
+        )  # (K, n)
+
+    def insert_many(self, hashes: np.ndarray) -> bool:
+        if len(hashes) == 0:
+            return True
+        g = self._probes(hashes).reshape(-1)
+        idx = (g >> np.uint64(6)).astype(np.int64)
+        bit = (np.uint64(1) << (g & np.uint64(63))).astype(np.uint64)
+        np.bitwise_or.at(self.words, idx, bit)
+        return True
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        g = self._probes(hashes)
+        idx = (g >> np.uint64(6)).astype(np.int64)
+        bit = g & np.uint64(63)
+        hits = ((self.words[idx] >> bit) & np.uint64(1)).astype(bool)
+        return hits.all(axis=0)
+
+    def save(self, path: str) -> None:
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            np.savez(
+                fh,
+                kind=np.array(["bloom"]),
+                words=self.words,
+                n_bits=np.array([self.n_bits]),
+            )
+        os.rename(tmp, path)
+
+
+def load_filter(path: str):
+    with np.load(path, allow_pickle=False) as z:
+        kind = str(z["kind"][0])
+        if kind == "cuckoo":
+            t = z["table"]
+            return CuckooFilter(t.shape[0], table=t.copy())
+        return BloomFilter(int(z["n_bits"][0]), words=z["words"].copy())
+
+
+def _sidecar(dir_: str, bucket: int) -> str:
+    return os.path.join(dir_, f"bucket={bucket}.npz")
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+def split_by_filter(cand: "DataFrame", io, through_cycle: int, cfg):
+    """Split candidates into (definite_new, maybe_seen) using the newest
+    sidecar filters ≤ through_cycle. Exactness-preserving: if filters lag the
+    url_seen deltas, definite_new is patched with an exact anti-join over the
+    missing delta range."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from . import schemas
+
+    found = None
+    for c in range(through_cycle, 0, -1):
+        m = io.manifest(c)
+        if m and m.get("meta", {}).get("filters") is not None:
+            found = c
+            break
+    if found is None:
+        # no filters yet: everything is maybe-seen (plain exact anti-join)
+        return cand.limit(0), cand
+
+    fdir = io.filter_dir(found)
+    out_schema = T.StructType(
+        cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def check(pdf):
+        import numpy as _np
+        import os as _os
+
+        b = int(pdf["host_bucket"].iloc[0])
+        path = _sidecar(fdir, b)
+        if not _os.path.exists(path):
+            pdf["maybe_seen"] = True
+            return pdf
+        f = load_filter(path)
+        h = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
+        pdf["maybe_seen"] = f.contains_many(h)
+        return pdf
+
+    tested = cand.groupBy("host_bucket").applyInPandas(check, out_schema)
+    definite_new = tested.where("NOT maybe_seen").drop("maybe_seen")
+    maybe_seen = tested.where("maybe_seen").drop("maybe_seen")
+
+    if found < through_cycle:
+        # filters are stale: exact-confirm definite_new vs the missing range
+        gap = io.read_delta_range(
+            cand.sparkSession, "url_seen", found + 1, through_cycle,
+            schemas.URL_SEEN,
+        )
+        definite_new = definite_new.join(gap, "url_hash", "left_anti")
+    return definite_new, maybe_seen
+
+
+def rebuild_filters(spark, io, cycle: int, cfg) -> int:
+    """Maintain per-bucket sidecars for the url_seen set through `cycle`.
+
+    Incremental: insert this cycle's delta into the previous sidecar.
+    Cold/overflowed buckets rebuild from the bucket's full url_seen (bloom).
+    Untouched buckets carry forward via hardlink. Returns #sidecars present.
+    """
+    from pyspark.sql import types as T
+
+    from . import schemas
+
+    out_dir = io.filter_dir(cycle)
+    os.makedirs(out_dir, exist_ok=True)
+    prev_dir = None
+    for c in range(cycle - 1, 0, -1):
+        m = io.manifest(c)
+        if m and m.get("meta", {}).get("filters") is not None:
+            prev_dir = io.filter_dir(c)
+            break
+
+    delta = io.read_cycle(spark, "url_seen", cycle, schemas.URL_SEEN)
+    res_schema = T.StructType(
+        [
+            T.StructField("host_bucket", T.IntegerType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+
+    def upsert(pdf):
+        import os as _os
+        import pandas as _pd
+        import numpy as _np
+
+        b = int(pdf["host_bucket"].iloc[0])
+        h = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
+        f = None
+        if prev_dir is not None:
+            p = _sidecar(prev_dir, b)
+            if _os.path.exists(p):
+                f = load_filter(p)
+        if f is None:
+            if len(h) <= _CUCKOO_MAX_ITEMS:
+                f = CuckooFilter.with_capacity(max(len(h) * 4, 1024))
+            else:
+                f = BloomFilter.with_capacity(len(h))
+        if f.insert_many(h):
+            f.save(_sidecar(out_dir, b))
+            return _pd.DataFrame({"host_bucket": [b], "status": ["ok"]})
+        return _pd.DataFrame({"host_bucket": [b], "status": ["overflow"]})
+
+    results = (
+        delta.select("host_bucket", "url_hash")
+        .groupBy("host_bucket")
+        .applyInPandas(upsert, res_schema)
+        .collect()
+    )
+    overflow = [r["host_bucket"] for r in results if r["status"] == "overflow"]
+
+    if overflow:
+        full = io.read_appended(spark, "url_seen", cycle, schemas.URL_SEEN)
+        full = full.where(full.host_bucket.isin(overflow))
+
+        def rebuild(pdf):
+            import pandas as _pd
+            import numpy as _np
+
+            b = int(pdf["host_bucket"].iloc[0])
+            h = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
+            f = BloomFilter.with_capacity(len(h))
+            f.insert_many(h)
+            f.save(_sidecar(out_dir, b))
+            return _pd.DataFrame({"host_bucket": [b], "status": ["bloom"]})
+
+        full.select("host_bucket", "url_hash").groupBy("host_bucket").applyInPandas(
+            rebuild, res_schema
+        ).collect()
+
+    # carry forward untouched buckets
+    if prev_dir is not None and os.path.isdir(prev_dir):
+        have = {n for n in os.listdir(out_dir) if n.endswith(".npz")}
+        for n in os.listdir(prev_dir):
+            if n.endswith(".npz") and n not in have:
+                try:
+                    os.link(os.path.join(prev_dir, n), os.path.join(out_dir, n))
+                except OSError:
+                    import shutil
+
+                    shutil.copy2(os.path.join(prev_dir, n), os.path.join(out_dir, n))
+
+    return len([n for n in os.listdir(out_dir) if n.endswith(".npz")])

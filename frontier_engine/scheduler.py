@@ -1,0 +1,366 @@
+"""The Spark crawl-cycle loop — the generalized change-scanning engine.
+
+One ``run_cycle`` = one ``Crawler.run_once`` of the reference
+(container_crawler/__init__.py ≈L405-430: enumerate → diff vs last_row →
+shard → dispatch → checkpoint). Stage-for-stage mirror of refspec.py's
+normative semantics, expressed as a single declarative DataFrame graph per
+cycle so Catalyst gets the whole plan (pushdown, pruning, broadcast
+selection, AQE skew splitting).
+
+Scale notes (10^10-URL frontier, 1000 executors):
+- the `html BINARY` column is touched ONLY in the fetch join + extraction
+  stage and dropped immediately after; no wide operator ever shuffles page
+  bodies.
+- url_seen dedup is a left-anti join on the 64-bit key, prefiltered by
+  per-bucket cuckoo filters (membership.py) so the exact join sees only
+  candidates that *might* be duplicates; membership stays exactly
+  reproducible because the filter can only short-circuit definite-negatives.
+- the priority queue is a repartition on host_bucket (+ optional salt for
+  hot hosts) with sortWithinPartitions — shuffle once, sort locally;
+  per-host order is enforced logically by the budget window's total key
+  (priority DESC, crawl_ts, url_hash), so salting never changes results.
+- pending carry + url_seen deltas are written partitioned by host_bucket:
+  next cycle's joins read co-partitioned data and partition-prune.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import schemas
+from .canon import canon_host_udf
+from .config import EngineConfig
+from .extract import extract_udf, links_udf
+from .fixtures import T0
+from .politeness import apply_robots, budgets_df, rank_by_budget
+from .tableio import TableIO
+
+LINEAGE_METRICS = [
+    "rows_scanned",
+    "enqueued",
+    "cand_total",
+    "errors",
+    "robots_skipped",
+    "discovered",
+    "fetched_ok",
+]
+
+
+def _bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def prepare_pages(
+    spark: SparkSession, pages_path: str, io: TableIO, cfg: EngineConfig
+) -> str:
+    """One-time corpus prep: canonicalize, key, bucket, dedup duplicate
+    canonical spellings (keep min (warc_ts, url)), write partitioned by
+    host_bucket. At 100 TB this is the single full shuffle of the dataset;
+    every later fetch join is co-partitioned against it."""
+    pages = spark.read.parquet(pages_path)
+    ch = canon_host_udf()
+    pc = (
+        pages.withColumn("_ch", ch("url"))
+        .select(
+            F.col("_ch.url_canon").alias("url_canon"),
+            F.col("_ch.host").alias("host"),
+            "url",
+            "warc_ts",
+            "html",
+            "text",
+            "lang",
+        )
+        .withColumn("url_hash", F.xxhash64("url_canon"))
+        .withColumn("host_bucket", _bucket(F.col("host"), cfg.n_buckets))
+    )
+    w = Window.partitionBy("url_canon").orderBy("warc_ts", "url")
+    pc = (
+        pc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "url")
+    )
+    rel = "pages_canon"
+    io._write_df(pc, rel, partition_by=["host_bucket"])
+    return os.path.join(io.root, rel)
+
+
+def _metric(df: DataFrame, name: str) -> DataFrame:
+    return df.groupBy("host_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("host_bucket", F.lit(name).alias("metric"), "n")
+
+
+@dataclass
+class CycleResult:
+    cycle: int
+    scheduled_rows: int
+    manifest: dict
+
+
+class FrontierScheduler:
+    """Drives cycles against a TableIO root. Stateless between calls —
+    everything needed to continue lives in committed snapshots (resume =
+    ``latest_cycle() + 1``), mirroring the reference's crash-safe
+    write-on-success checkpoint discipline."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        io: TableIO,
+        cfg: EngineConfig,
+        pages_canon_path: str,
+        robots: DataFrame,
+        seeds: DataFrame,
+    ):
+        self.spark = spark
+        self.io = io
+        self.cfg = cfg
+        self.pages_canon_path = pages_canon_path
+        self.robots = robots
+        self.seeds = seeds
+        self.budgets = budgets_df(spark, cfg.budgets)
+
+    # -- inputs per cycle ---------------------------------------------------
+
+    def _pages_canon(self) -> DataFrame:
+        return self.spark.read.schema(schemas.PAGES_CANON).parquet(
+            self.pages_canon_path
+        )
+
+    def _discoveries(self, cycle: int) -> DataFrame:
+        if cycle == 1:
+            return self.seeds.select(
+                "url",
+                F.col("priority").cast("int").alias("priority"),
+                F.lit(T0).cast("timestamp").alias("discovered_ts"),
+            )
+        return self.io.read_cycle(
+            self.spark, "discoveries", cycle - 1, schemas.DISCOVERIES
+        )
+
+    # -- the cycle ---------------------------------------------------------
+
+    def run_cycle(self, cycle: int) -> CycleResult:
+        spark, io, cfg = self.spark, self.io, self.cfg
+
+        pending_prev = io.read_cycle(
+            spark, "pending", cycle - 1, schemas.PENDING
+        )
+        seen = io.read_appended(spark, "url_seen", cycle - 1, schemas.URL_SEEN)
+
+        # ---- 1. ingest: canonicalize -> key -> dedup (batch + seen) -------
+        ch = canon_host_udf()
+        cand = (
+            self._discoveries(cycle)
+            .withColumn("_ch", ch("url"))
+            .select(
+                F.col("_ch.url_canon").alias("url_canon"),
+                F.col("_ch.host").alias("host"),
+                F.col("priority").cast("int").alias("priority"),
+                "discovered_ts",
+            )
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+            .withColumn("host_bucket", _bucket(F.col("host"), cfg.n_buckets))
+        )
+        cand.persist()
+        cand_total = _metric(cand, "cand_total")
+
+        # within-batch dedup: keep max priority per key (all other columns
+        # are functionally determined by the key within one batch)
+        cand_g = cand.groupBy("url_hash").agg(
+            F.min("url_canon").alias("url_canon"),
+            F.min("host").alias("host"),
+            F.min("host_bucket").alias("host_bucket"),
+            F.max("priority").alias("priority"),
+            F.min("discovered_ts").alias("discovered_ts"),
+        )
+
+        # seen dedup: cuckoo prefilter (definite-negatives bypass the exact
+        # anti-join; possibles are confirmed exactly — membership.py)
+        if cfg.use_seen_filter:
+            from .membership import split_by_filter
+
+            definite_new, maybe_seen = split_by_filter(
+                cand_g, io, cycle - 1, cfg
+            )
+            confirmed_new = maybe_seen.join(seen, "url_hash", "left_anti")
+            new_keys = definite_new.unionByName(confirmed_new)
+        else:
+            new_keys = cand_g.join(seen, "url_hash", "left_anti")
+
+        ingested = new_keys.select(
+            "url_canon",
+            "url_hash",
+            "host",
+            "host_bucket",
+            "priority",
+            F.col("discovered_ts").alias("crawl_ts"),
+            "discovered_ts",
+            F.lit(0).alias("retries"),
+        )
+
+        pending_all = pending_prev.unionByName(ingested)
+        pending_all.persist()
+
+        discovered = _metric(ingested, "discovered")
+        scanned = _metric(pending_all, "rows_scanned")
+
+        # ---- 2. robots (SkipContainer analog) -----------------------------
+        with_robots = apply_robots(pending_all, self.robots)
+        skipped = with_robots.where("blocked")
+        eligible = with_robots.where("NOT blocked").drop("blocked")
+        robots_skipped = _metric(skipped, "robots_skipped")
+
+        # ---- 3. politeness budget: per-host window rank --------------------
+        ranked = rank_by_budget(eligible, self.budgets, cfg.default_budget)
+        ranked.persist()
+        scheduled = ranked.where(F.col("rk") <= F.col("budget")).drop(
+            "rk", "budget"
+        )
+        deferred = ranked.where(F.col("rk") > F.col("budget")).drop(
+            "rk", "budget"
+        )
+        enqueued = _metric(scheduled, "enqueued")
+
+        # ---- 4. fetch: co-partitioned join against pages, extract, links ---
+        pages = self._pages_canon().select("url_hash", "url_canon", "html", "text")
+        fetched = (
+            scheduled.join(pages, ["url_hash", "url_canon"], "left")
+            .withColumn("extracted", extract_udf()(F.col("html")))
+            .withColumn("links", links_udf()(F.col("html")))
+            .withColumn(
+                "ok",
+                F.col("html").isNotNull() & (F.col("extracted") == F.col("text")),
+            )
+            # drop page bodies IMMEDIATELY — nothing downstream shuffles html
+            .drop("html", "text", "extracted")
+        )
+        fetched.persist()
+
+        done = fetched.where("ok")
+        miss = fetched.where("NOT ok")
+        errors = _metric(miss, "errors")
+        fetched_ok = _metric(done, "fetched_ok")
+
+        retriable = (
+            miss.where(F.col("retries") < cfg.retry_limit)
+            .select(*schemas.PENDING.fieldNames())
+            .withColumn("retries", F.col("retries") + 1)
+        )
+        errored = miss.where(F.col("retries") >= cfg.retry_limit)
+
+        next_dts = T0 + timedelta(hours=cycle)
+        discoveries_next = done.select(
+            F.explode("links").alias("url"),
+            F.greatest(
+                F.col("priority") - cfg.link_priority_decay, F.lit(0)
+            ).cast("int").alias("priority"),
+            F.lit(next_dts).cast("timestamp").alias("discovered_ts"),
+        )
+
+        # ---- 5. outputs -----------------------------------------------------
+        pending_next = deferred.select(
+            *schemas.PENDING.fieldNames()
+        ).unionByName(retriable)
+
+        wb = Window.partitionBy("host_bucket").orderBy(
+            F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
+        )
+        scheduled_out = (
+            scheduled.withColumn("cycle", F.lit(cycle))
+            .withColumn("fetch_seq", F.row_number().over(wb))
+            .select(*schemas.SCHEDULED.fieldNames())
+            # the priority queue, physically: salted repartition + local sort
+            .repartition(cfg.n_buckets, "host_bucket")
+            .sortWithinPartitions(
+                F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
+            )
+        )
+
+        url_seen_delta = ingested.select(
+            "url_hash",
+            "host_bucket",
+            F.lit(cycle).alias("first_seen_cycle"),
+        )
+
+        resolved = (
+            done.select(
+                F.lit(cycle).alias("cycle"), "url_hash", "host_bucket",
+                F.lit("done").alias("state"),
+            )
+            .unionByName(
+                errored.select(
+                    F.lit(cycle).alias("cycle"), "url_hash", "host_bucket",
+                    F.lit("error").alias("state"),
+                )
+            )
+            .unionByName(
+                skipped.select(
+                    F.lit(cycle).alias("cycle"), "url_hash", "host_bucket",
+                    F.lit("skipped").alias("state"),
+                )
+            )
+        )
+
+        lineage_long = (
+            cand_total.unionByName(discovered)
+            .unionByName(scanned)
+            .unionByName(robots_skipped)
+            .unionByName(enqueued)
+            .unionByName(errors)
+            .unionByName(fetched_ok)
+        )
+        lineage = (
+            lineage_long.groupBy("host_bucket")
+            .pivot("metric", LINEAGE_METRICS)
+            .sum("n")
+            .na.fill(0, LINEAGE_METRICS)
+            .withColumn("cycle", F.lit(cycle))
+            .withColumn(
+                "deduped", F.col("cand_total") - F.col("discovered")
+            )
+            .select(*schemas.LINEAGE.fieldNames())
+        )
+
+        tables = {
+            "pending": (pending_next, ["host_bucket"]),
+            "url_seen": (url_seen_delta, ["host_bucket"]),
+            "scheduled": (scheduled_out, ["host_bucket"]),
+            "discoveries": (discoveries_next, None),
+            "lineage": (lineage, None),
+            "resolved": (resolved, None),
+        }
+
+        meta = {}
+        compact = cfg.compact_every > 0 and cycle % cfg.compact_every == 0
+        if compact:
+            full_seen = io.read_appended(
+                spark, "url_seen", cycle - 1, schemas.URL_SEEN
+            ).unionByName(url_seen_delta)
+            tables["url_seen_base"] = (full_seen, ["host_bucket"])
+
+        manifest = io.commit(cycle, tables, meta=meta)
+
+        if cfg.use_seen_filter:
+            from .membership import rebuild_filters
+
+            n_built = rebuild_filters(spark, io, cycle, cfg)
+            manifest = io.commit_meta_update(cycle, {"filters": n_built})
+
+        n_sched = io.read_cycle(
+            spark, "scheduled", cycle, schemas.SCHEDULED
+        ).count()
+
+        for df in (cand, pending_all, ranked, fetched):
+            df.unpersist()
+
+        return CycleResult(cycle=cycle, scheduled_rows=n_sched, manifest=manifest)
+
+    def run(self, cycles: int, start_cycle: int | None = None) -> list[CycleResult]:
+        start = start_cycle if start_cycle is not None else self.io.latest_cycle() + 1
+        return [self.run_cycle(k) for k in range(start, start + cycles)]

@@ -1,0 +1,84 @@
+"""Fixed engine-internal schemas (SURVEY.md §1.2) — declared, never inferred."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+PENDING = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("host_bucket", T.IntegerType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("crawl_ts", T.TimestampType()),
+        T.StructField("discovered_ts", T.TimestampType()),
+        T.StructField("retries", T.IntegerType()),
+    ]
+)
+
+URL_SEEN = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host_bucket", T.IntegerType()),
+        T.StructField("first_seen_cycle", T.IntegerType()),
+    ]
+)
+
+SCHEDULED = T.StructType(
+    [
+        T.StructField("cycle", T.IntegerType()),
+        T.StructField("host_bucket", T.IntegerType()),
+        T.StructField("fetch_seq", T.IntegerType()),
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("crawl_ts", T.TimestampType()),
+        T.StructField("retries", T.IntegerType()),
+    ]
+)
+
+LINEAGE = T.StructType(
+    [
+        T.StructField("cycle", T.IntegerType()),
+        T.StructField("host_bucket", T.IntegerType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("enqueued", T.LongType()),
+        T.StructField("deduped", T.LongType()),
+        T.StructField("errors", T.LongType()),
+        T.StructField("robots_skipped", T.LongType()),
+        T.StructField("discovered", T.LongType()),
+        T.StructField("fetched_ok", T.LongType()),
+    ]
+)
+
+DISCOVERIES = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+        T.StructField("discovered_ts", T.TimestampType()),
+    ]
+)
+
+RESOLVED = T.StructType(
+    [
+        T.StructField("cycle", T.IntegerType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host_bucket", T.IntegerType()),
+        T.StructField("state", T.StringType()),
+    ]
+)
+
+PAGES_CANON = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("host_bucket", T.IntegerType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)

@@ -1,0 +1,179 @@
+"""Parquet-backed snapshot tables: atomic manifest commit / read-at / resume.
+
+Iceberg-style semantics (snapshot isolation, time travel, incremental scan)
+emulated over plain Parquet because the sandbox ships no lakehouse jars
+(BASELINE.md environment). The call sites keep a one-line seam to real
+Iceberg (`spark.read.format('iceberg')` + start-snapshot-id) when available.
+
+This is the web-scale generalization of the reference's checkpoint files:
+container_crawler/base_handler.py get_last_row/save_last_row persist a JSON
+`{db_id: {'last_row': N}}` per (account, container), written only after a
+fully successful pass (call site container_crawler/__init__.py
+Crawler.handle_container). Here the unit of commit is a whole crawl cycle:
+data dirs are written first, then a manifest JSON is atomically renamed into
+`_manifests/` — a cycle either exists completely or not at all, and resume
+(`latest_cycle`) never sees a torn write. Crash mid-cycle leaves orphan data
+dirs that the next commit ignores (manifest is the source of truth).
+
+Table kinds:
+- carry   (pending):       full rewrite each cycle; read exactly cycle k
+- append  (url_seen, lineage, resolved): per-cycle deltas; read = union of
+          committed deltas ≤ k, with periodic consolidation ("compaction")
+          so the union never grows unboundedly at 10^10-URL scale
+- percycle (scheduled, discoveries): owned by a single cycle
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+
+class TableIO:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_tmp"), exist_ok=True)
+
+    # ---- manifests -----------------------------------------------------
+
+    def _manifest_path(self, cycle: int) -> str:
+        return os.path.join(self.root, "_manifests", f"manifest.{cycle:06d}.json")
+
+    def manifest(self, cycle: int) -> dict | None:
+        p = self._manifest_path(cycle)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def latest_cycle(self) -> int:
+        d = os.path.join(self.root, "_manifests")
+        cycles = [
+            int(n.split(".")[1])
+            for n in os.listdir(d)
+            if n.startswith("manifest.") and n.endswith(".json")
+        ]
+        return max(cycles, default=0)
+
+    # ---- writes ----------------------------------------------------------
+
+    def _write_df(self, df, rel: str, partition_by: list[str] | None = None):
+        """Write to a tmp dir then atomically rename into place."""
+        tmp = os.path.join(self.root, "_tmp", uuid.uuid4().hex)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        final = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return rel
+
+    def commit(
+        self,
+        cycle: int,
+        tables: dict,
+        url_seen_base: bool = False,
+        meta: dict | None = None,
+    ) -> dict:
+        """Write every table of the cycle, then atomically publish the
+        manifest. ``tables``: name -> (df, partition_by or None)."""
+        entry: dict = {"cycle": cycle, "parent": cycle - 1, "tables": {}}
+        for name, (df, part) in tables.items():
+            rel = f"{name}/cycle={cycle}"
+            self._write_df(df, rel, part)
+            entry["tables"][name] = rel
+        if url_seen_base:
+            entry["url_seen_base"] = True
+        entry["committed_ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if meta:
+            entry["meta"] = meta
+        tmp = self._manifest_path(cycle) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f, indent=1)
+        os.rename(tmp, self._manifest_path(cycle))
+        return entry
+
+    def commit_meta_update(self, cycle: int, meta_update: dict) -> dict:
+        """Merge keys into an existing manifest's meta (atomic rewrite)."""
+        entry = self.manifest(cycle)
+        assert entry is not None, f"no manifest for cycle {cycle}"
+        entry.setdefault("meta", {}).update(meta_update)
+        tmp = self._manifest_path(cycle) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f, indent=1)
+        os.rename(tmp, self._manifest_path(cycle))
+        return entry
+
+    # ---- reads ----------------------------------------------------------
+
+    def _empty(self, spark, schema):
+        return spark.createDataFrame([], schema)
+
+    def read_cycle(self, spark, name: str, cycle: int, schema):
+        """Read a carry/percycle table exactly at cycle k."""
+        m = self.manifest(cycle)
+        if m is None or name not in m["tables"]:
+            return self._empty(spark, schema)
+        return spark.read.schema(schema).parquet(
+            os.path.join(self.root, m["tables"][name])
+        )
+
+    def read_appended(self, spark, name: str, through_cycle: int, schema):
+        """Union of committed deltas of an append table up to cycle k,
+        starting from the most recent consolidated base ≤ k (if any)."""
+        paths = []
+        start = 1
+        base_name = f"{name}_base"
+        for c in range(through_cycle, 0, -1):
+            m = self.manifest(c)
+            if m and base_name in m["tables"]:
+                paths.append(os.path.join(self.root, m["tables"][base_name]))
+                start = c + 1
+                break
+        for c in range(start, through_cycle + 1):
+            m = self.manifest(c)
+            if m and name in m["tables"]:
+                paths.append(os.path.join(self.root, m["tables"][name]))
+        return self._union_paths(spark, paths, schema)
+
+    def _union_paths(self, spark, paths, schema):
+        """Union several delta dirs. Each dir is itself hive-partitioned (by
+        host_bucket), so they must be loaded separately — passing sibling
+        `cycle=k` dirs in one load trips partition discovery."""
+        if not paths:
+            return self._empty(spark, schema)
+        dfs = [spark.read.schema(schema).parquet(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read_delta_range(
+        self, spark, name: str, from_cycle: int, to_cycle: int, schema
+    ):
+        """Union of an append table's deltas in [from_cycle, to_cycle]."""
+        paths = []
+        for c in range(from_cycle, to_cycle + 1):
+            m = self.manifest(c)
+            if m and name in m["tables"]:
+                paths.append(os.path.join(self.root, m["tables"][name]))
+        return self._union_paths(spark, paths, schema)
+
+    # ---- sidecars (cuckoo filters) ---------------------------------------
+
+    def filter_dir(self, cycle: int) -> str:
+        return os.path.join(self.root, "filters", f"cycle={cycle}")
+
+    def latest_filter_dir(self, through_cycle: int) -> str | None:
+        for c in range(through_cycle, 0, -1):
+            m = self.manifest(c)
+            if m and m.get("meta", {}).get("filters"):
+                return self.filter_dir(c)
+        return None
