@@ -1,0 +1,856 @@
+"""Driver-contract query surface: every operator from SURVEY.md §2 (and the
+training-data-pipeline ops) as a (spark_fn, oracle_sql) pair.
+
+Each Spark query is the idiomatic DataFrame form of an engine operator; each
+oracle is equivalent ANSI SQL for DuckDB over the driver's pre-registered
+views (region nation customer supplier part orders lineitem events documents
+embeddings). Column names/aliases are IDENTICAL on both sides (the driver's
+value-hash sorts columns by name). Queries without a clean SQL oracle
+(xxhash64 keys, the full crawl pipeline) return None SQL -> rows-only check;
+their exact oracles live in pytest vs refspec instead.
+"""
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# crawl-core operators over driver tables
+# ---------------------------------------------------------------------------
+
+def q_canon_urls(spark, sf_dir):
+    """RFC-3986 canonicalization (pandas UDF) on synthesized messy URLs."""
+    from .canon import canon_udf
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://HOST"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".EXAMPLE.COM:443/d/"), F.col("doc_id").cast("string"),
+        F.lit("?b="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 5).cast("string"), F.lit("#f"),
+    )
+    return d.select("doc_id", canon_udf()(raw).alias("url_canon"))
+
+
+SQL_CANON_URLS = """
+SELECT doc_id,
+       'https://host' || (doc_id % 20) || '.example.com/d/' || doc_id
+       || '?a=' || (doc_id % 5) || '&b=' || (doc_id % 7) AS url_canon
+FROM documents
+"""
+
+
+def q_url_hash_keys(spark, sf_dir):
+    """64-bit xxhash64 keys + pmod host buckets (no DuckDB xxhash64 ->
+    rows-only; exact parity is pinned in pytest vs the pure-Python twin)."""
+    from .canon import canon_udf
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/d/"), F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        canon_udf()(raw).alias("url_canon"),
+    ).withColumn("url_hash", F.xxhash64("url_canon")).withColumn(
+        "host_bucket", F.pmod(F.xxhash64("url_canon"), F.lit(64)).cast("int")
+    )
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Window keep-first dedup (row_number == 1) by a coarse key."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("n_chars").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("n_chars", F.col("doc_id").alias("first_doc_id"))
+    )
+
+
+SQL_DEDUP_KEEP_FIRST = """
+SELECT n_chars, MIN(doc_id) AS first_doc_id FROM documents GROUP BY n_chars
+"""
+
+
+def q_anti_join_new(spark, sf_dir):
+    """URL-seen dedup shape: left ANTI join against a seen-set on a hash key."""
+    d = _t(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    seen = d.where("source = 'src0'").select("h")
+    return d.join(seen, "h", "left_anti").select("doc_id")
+
+
+SQL_ANTI_JOIN_NEW = """
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents s
+  WHERE s.source = 'src0' AND md5(s.text) = md5(d.text)
+)
+"""
+
+
+def q_politeness_budget(spark, sf_dir):
+    """The flagship politeness window: per-key rank over a total order,
+    budget cut at 5 (events.user_id plays the host)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 5")
+        .select("user_id", "event_id", "rk")
+    )
+
+
+SQL_POLITENESS_BUDGET = """
+SELECT user_id, event_id, rk FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, ts ASC, event_id ASC) AS rk
+  FROM events
+) WHERE rk <= 5
+"""
+
+
+def q_priority_topk(spark, sf_dir):
+    """Per-host top-k by priority with deterministic tiebreak."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("host"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+        (F.col("n_chars") % 10).cast("int").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 3")
+        .select("host", "doc_id", "priority", "rk")
+    )
+
+
+SQL_PRIORITY_TOPK = """
+SELECT host, doc_id, priority, rk FROM (
+  SELECT 'host' || (doc_id % 20) AS host, doc_id,
+         CAST(n_chars % 10 AS INT) AS priority,
+         ROW_NUMBER() OVER (PARTITION BY ('host' || (doc_id % 20))
+                            ORDER BY (CAST(n_chars % 10 AS INT)) DESC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= 3
+"""
+
+
+def q_lineage_counts(spark, sf_dir):
+    """Per-partition lineage aggregation shape (count/sum/countDistinct)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_LINEAGE_COUNTS = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_lineage_rollup(spark, sf_dir):
+    """ROLLUP lineage report (cycle/bucket analog on lineitem flags)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+SQL_LINEAGE_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_incremental_scan(spark, sf_dir):
+    """Incremental ordered scan: predicate vs a checkpoint (ROWID > last_row
+    analog; both predicates push to the parquet scan)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(
+            (F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            & (F.col("event_id") % 2 == 0)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("max_id"))
+    )
+
+
+SQL_INCREMENTAL_SCAN = """
+SELECT event_type, COUNT(*) AS n, MAX(event_id) AS max_id
+FROM events
+WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND event_id % 2 = 0
+GROUP BY event_type
+"""
+
+
+def q_set_except_users(spark, sf_dir):
+    """Set difference: clickers who never purchased (EXCEPT)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where("event_type = 'click'").select("user_id").distinct()
+    buys = e.where("event_type = 'purchase'").select("user_id").distinct()
+    return clicks.subtract(buys)
+
+
+SQL_SET_EXCEPT_USERS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_robots_prefix_filter(spark, sf_dir):
+    """Robots-style array-of-prefixes disallow filter (higher-order fn)."""
+    d = _t(spark, sf_dir, "documents")
+    disallow = F.array(F.lit("src1"), F.lit("src3"))
+    blocked = F.exists(disallow, lambda p: F.col("source").startswith(p))
+    return d.where(~blocked).select("doc_id", "source")
+
+
+SQL_ROBOTS_PREFIX_FILTER = """
+SELECT doc_id, source FROM documents
+WHERE NOT (source LIKE 'src1%' OR source LIKE 'src3%')
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (joins / aggs / sorts on the star schema)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast dim join + agg + deterministic top-k."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_custkey", "c_name", "total", "n_orders")
+        .orderBy(F.desc("total"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS total,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY total DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """Left ANTI join (the URL-seen shape on the star schema)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """Left SEMI join companion."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+    )
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT COUNT(*) AS n_customers_with_orders FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """As-of/latest-per-key (latest robots per host analog)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"))
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id AS last_event_id, ts AS last_ts FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """JSON extraction from the props column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_id % 10 = 0
+"""
+
+
+def q_time_buckets(spark, sf_dir):
+    """Tumbling time-bucket aggregation (hourly)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+    )
+
+
+SQL_TIME_BUCKETS = """
+SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+       ROUND(SUM(value), 3) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_distinct_users_exact(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+SQL_DISTINCT_USERS_EXACT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+"""
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HLL++ cardinality (approx — engines differ, rows-only check)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+def q_salted_group_agg(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation; must equal the plain GROUP BY
+    (salting is a physical knob, never a semantic one)."""
+    e = _t(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("user_id", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 3).alias("sum_value")
+    )
+
+
+SQL_SALTED_GROUP_AGG = """
+SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 3) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup by full-content hash (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc_id"))
+    )
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n, MIN(doc_id) AS first_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def _shingles_col():
+    """word 3-gram shingles of `text` (empty when < 3 words)."""
+    return F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        " transform(sequence(1, size(split(text, ' ')) - 2), "
+        "   i -> array_join(slice(split(text, ' '), i, 3), ' ')) "
+        "ELSE array() END"
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, GREATEST(len(words) - 1, 1)),
+                               i -> array_to_string(words[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash (8 permutations via seeded md5) over 3-gram shingles —
+    the signature stage of MinHash-LSH dedup, fully SQL-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles_col()).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+        for i in range(8)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH_SIGNATURES = (
+    "SELECT doc_id, "
+    + ", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(8))
+    + f" FROM ({_SHINGLES_SQL}) sh GROUP BY doc_id"
+)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: 4 bands of 2 rows; pairs sharing any
+    band bucket (the scalable near-dup join)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.alias("x")
+    right = bands.alias("y")
+    return (
+        left.join(
+            right,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = (
+    "WITH sig AS ("
+    + SQL_MINHASH_SIGNATURES
+    + "), bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(m{2*b} || m{2*b+1}) AS bkey FROM sig"
+        for b in range(4)
+    )
+    + ") SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+    "FROM bands x JOIN bands y "
+    "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"
+)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard similarity on a bounded candidate set
+    (same-lang pairs among doc_id < 300)."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 300")
+    sets = d.select(
+        "doc_id", "lang", F.array_distinct(_shingles_col()).alias("ss")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
+        / F.size(F.array_union(F.col("a.ss"), F.col("b.ss"))),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            jac.alias("jac"),
+        )
+        .where("jac > 0.05")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = (
+    "WITH sh AS ("
+    + _SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id < 300")
+    + "), sets AS (SELECT doc_id, lang, list_distinct(list(s)) AS ss "
+    "FROM sh GROUP BY doc_id, lang) "
+    "SELECT a.doc_id AS da, b.doc_id AS db, "
+    "ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE / "
+    "len(list_distinct(list_concat(a.ss, b.ss))), 4) AS jac "
+    "FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+    "WHERE ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE / "
+    "len(list_distinct(list_concat(a.ss, b.ss))), 4) > 0.05"
+)
+
+
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash over word hashes (md5-derived, engine-portable)."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 1000")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h = w.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long").alias("hv"),
+    )
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    bits = h.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
+SQL_SIMHASH16 = (
+    "WITH h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS hv "
+    "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    "      FROM documents WHERE doc_id < 1000)), "
+    "bits AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(((hv >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(16)
+    )
+    + " FROM h GROUP BY doc_id) "
+    "SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    + " AS BIGINT) AS simhash16 FROM bits"
+)
+
+
+def _emb_double(col="embedding"):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (JVM-side array math, no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id = 0").select(_emb_double().alias("qe"))
+    cand = e.where("vec_id <> 0").select("vec_id", _emb_double().alias("ee"))
+    cos = _dot(F.col("ee"), F.col("qe")) / (
+        F.sqrt(_dot(F.col("ee"), F.col("ee")))
+        * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_EMBEDDING_COSINE_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+     e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id,
+       ROUND(list_inner_product(ee, qe)
+             / (sqrt(list_inner_product(ee, ee)) * sqrt(list_inner_product(qe, qe))),
+             6) AS cos_sim
+FROM e, q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+_EMB_DIM = 64  # embeddings.embedding length (TESTDATA)
+
+
+def _lsh_plane(j: int):
+    """Deterministic integer pseudo-projection r_j[d] = ((d*31+j*17)%7)-3."""
+    return F.array(
+        *[F.lit(float(((d * 31 + j * 17) % 7) - 3)) for d in range(_EMB_DIM)]
+    )
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (4 planes -> 16 buckets) — the
+    scale path for ANN: search only the query's bucket."""
+    e = _t(spark, sf_dir, "embeddings")
+    ee = _emb_double()
+    bucket = None
+    for j in range(4):
+        bit = F.when(_dot(ee, _lsh_plane(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return e.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+SQL_ANN_LSH_BUCKETS = (
+    "SELECT vec_id, CAST("
+    + " + ".join(
+        "(CASE WHEN list_inner_product(embedding::DOUBLE[], "
+        f"list_transform(range({_EMB_DIM}), d -> CAST(((d*31 + {j}*17) % 7) - 3 AS DOUBLE))"
+        f") > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    + " AS INT) AS bucket FROM embeddings"
+)
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token counts, avg token length, stopword ratio."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stops = F.filter(words, lambda w: (w == "the") | (w == "a"))
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.round(F.length("text") / F.size(words), 4).alias("avg_token_len"),
+        F.round(F.size(stops) / F.size(words), 4).alias("stop_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       ROUND(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS avg_token_len,
+       ROUND(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS stop_ratio
+FROM documents
+"""
+
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """Marker-token language/domain heuristic (n-gram-ish language ID)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    c_stop = F.size(F.filter(words, lambda w: (w == "the") | (w == "a")))
+    c_tech = F.size(
+        F.filter(
+            words,
+            lambda w: (w == "spark") | (w == "query") | (w == "data"),
+        )
+    )
+    pred = (
+        F.when(c_stop * 10 >= F.size(words), F.lit("en"))
+        .when(c_tech * 10 >= F.size(words), F.lit("tech"))
+        .otherwise(F.lit("other"))
+    )
+    return d.select("doc_id", pred.alias("predicted_lang"))
+
+
+SQL_LANG_ID_HEURISTIC = """
+SELECT doc_id,
+  CASE
+    WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) * 10
+         >= len(string_split(text,' ')) THEN 'en'
+    WHEN len(list_filter(string_split(text,' '), w -> w IN ('spark','query','data'))) * 10
+         >= len(string_split(text,' ')) THEN 'tech'
+    ELSE 'other'
+  END AS predicted_lang
+FROM documents
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace + alpha-regex + BPE-ish estimate."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+"), F.lit(0))).alias(
+            "alpha_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+')) AS alpha_tokens,
+       CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Content fingerprint over normalized text (dedup-grade identity)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload + typed metadata
+    (byte length, magic-bytes hex head)."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("byte_len"),
+        F.upper(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias(
+            "head_hex"
+        ),
+    )
+
+
+SQL_BINARY_META = """
+SELECT doc_id, octet_length(encode(text)) AS byte_len,
+       UPPER(hex(encode(substr(text, 1, 4)))) AS head_hex
+FROM documents
+"""
+
+
+def q_crawl_schedule_c1(spark, sf_dir):
+    """The flagship: cycle-1 scheduled batch of the full crawl pipeline on
+    the deterministic n=2000 fixture (exact oracle = refspec, in pytest)."""
+    from .config import config_for_fixture
+    from .fixtures import FixtureConfig, ensure_fixtures
+    from .golden import build_engine
+
+    fix_dir = ensure_fixtures(os.path.join(REPO, ".fixtures"), 2000)
+    cfg = config_for_fixture(FixtureConfig(n_urls=2000))
+    work = os.path.join(REPO, ".engine_runs", "entry_n2000")
+    eng = build_engine(spark, fix_dir, work, cfg)
+    if eng.io.latest_cycle() < 1:
+        eng.run_cycle(1)
+    from . import schemas
+
+    return eng.io.read_cycle(spark, "scheduled", 1, schemas.SCHEDULED).select(
+        "host_bucket", "fetch_seq", "url_canon", "url_hash", "host",
+        "priority", "crawl_ts", "retries",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict = {
+    # crawl-core operator shapes
+    "canon_urls": (q_canon_urls, SQL_CANON_URLS),
+    "url_hash_keys": (q_url_hash_keys, None),
+    "dedup_keep_first": (q_dedup_keep_first, SQL_DEDUP_KEEP_FIRST),
+    "anti_join_new": (q_anti_join_new, SQL_ANTI_JOIN_NEW),
+    "politeness_budget": (q_politeness_budget, SQL_POLITENESS_BUDGET),
+    "priority_topk": (q_priority_topk, SQL_PRIORITY_TOPK),
+    "lineage_counts": (q_lineage_counts, SQL_LINEAGE_COUNTS),
+    "lineage_rollup": (q_lineage_rollup, SQL_LINEAGE_ROLLUP),
+    "incremental_scan": (q_incremental_scan, SQL_INCREMENTAL_SCAN),
+    "set_except_users": (q_set_except_users, SQL_SET_EXCEPT_USERS),
+    "robots_prefix_filter": (q_robots_prefix_filter, SQL_ROBOTS_PREFIX_FILTER),
+    # relational coverage
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
+    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "time_buckets": (q_time_buckets, SQL_TIME_BUCKETS),
+    "distinct_users_exact": (q_distinct_users_exact, SQL_DISTINCT_USERS_EXACT),
+    "approx_distinct_users": (q_approx_distinct_users, None),
+    "salted_group_agg": (q_salted_group_agg, SQL_SALTED_GROUP_AGG),
+    # training-data pipeline ops
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "simhash16": (q_simhash16, SQL_SIMHASH16),
+    "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "binary_meta": (q_binary_meta, SQL_BINARY_META),
+    # the crawl pipeline itself
+    "crawl_schedule_c1": (q_crawl_schedule_c1, None),
+}

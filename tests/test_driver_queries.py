@@ -1,0 +1,88 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+at sf0.001 and compare against its oracle_sql() via DuckDB — row count,
+column names, and order-insensitive values."""
+
+import math
+import os
+from datetime import datetime
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rows_from_spark(df):
+    cols = sorted(df.columns)
+    rows = [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
+    return cols, sorted(rows, key=repr)
+
+
+def _rows_from_duckdb(con, sql):
+    res = con.sql(sql)
+    cols = list(res.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [
+        tuple(_norm(row[i]) for i in order) for row in res.fetchall()
+    ]
+    return sorted(cols), sorted(rows, key=repr)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF_DIR, t)}.parquet'"
+        )
+    return c
+
+
+def _registry():
+    from frontier_engine.queries import REGISTRY
+
+    return REGISTRY
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_f, sql) in _registry().items() if sql is not None]
+)
+def test_query_matches_oracle(spark, con, name):
+    fn, sql = _registry()[name]
+    sdf = fn(spark, SF_DIR)
+    scols, srows = _rows_from_spark(sdf)
+    dcols, drows = _rows_from_duckdb(con, sql)
+    assert scols == dcols, f"{name}: columns {scols} != {dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: rowcount {len(srows)} != {len(drows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first diffs {mismatches[:5]}"
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, (_f, sql) in _registry().items() if sql is None]
+)
+def test_rows_only_queries_run(spark, name):
+    fn, _ = _registry()[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
