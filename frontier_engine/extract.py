@@ -50,9 +50,53 @@ def discover_links(html: bytes | None) -> list[str]:
     return _LINK_RE.findall(s)
 
 
+def handle_page(html):
+    """One-pass handler: (extracted_text, outlinks) — the single decode of
+    the page bytes (the hot path touches each html exactly once)."""
+    if not html:
+        return "", []
+    try:
+        s = html.decode("utf-8")
+    except UnicodeDecodeError:
+        return "", []
+    i = s.find("<p>")
+    text = ""
+    if i >= 0:
+        j = s.find("</p>", i)
+        if j >= 0:
+            text = _htmllib.unescape(s[i + 3 : j])
+    return text, _LINK_RE.findall(s)
+
+
 # ---------------------------------------------------------------------------
 # Spark side — Arrow-batched pandas UDFs.
 # ---------------------------------------------------------------------------
+
+
+def handle_page_udf():
+    """``pandas_udf``: BINARY html -> STRUCT<extracted STRING,
+    links ARRAY<STRING>> in one Arrow round-trip and one decode."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("extracted", T.StringType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def _handle(htmls: pd.Series) -> pd.DataFrame:
+        pairs = htmls.map(handle_page)
+        return pd.DataFrame(
+            {
+                "extracted": pairs.map(lambda p: p[0]),
+                "links": pairs.map(lambda p: p[1]),
+            }
+        )
+
+    return F.pandas_udf(_handle, schema)
 
 def extract_udf():
     """``pandas_udf``: BINARY html -> STRING extracted text."""

@@ -75,8 +75,10 @@ class FixtureConfig:
     def raw_url(self, i: int) -> str:
         """Raw spelling as it appears in the pages table / link hrefs."""
         if i % 97 == 0 and i >= 97:
-            # duplicate of row i-97's canonical URL in a different spelling
-            j = i - 97
+            # duplicate of row i-1's canonical URL in a different spelling
+            # (i-1 is never itself a dup row, so dup PAIRS exist — the
+            # dedup exercise needs colliding canonicals)
+            j = i - 1
             return (
                 f"HTTPS://{self.host(j).upper()}:443/p/{j}"
                 f"?b={j % 7}&a={j % 5}#dup{i}"

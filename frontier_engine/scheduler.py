@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from . import schemas
 from .canon import canon_host_udf
 from .config import EngineConfig
-from .extract import extract_udf, links_udf
+from .extract import handle_page_udf
 from .fixtures import T0
 from .politeness import apply_robots, budgets_df, rank_by_budget
 from .tableio import TableIO
@@ -58,10 +58,15 @@ def _bucket(col, n_buckets: int):
 def prepare_pages(
     spark: SparkSession, pages_path: str, io: TableIO, cfg: EngineConfig
 ) -> str:
-    """One-time corpus prep: canonicalize, key, bucket, dedup duplicate
-    canonical spellings (keep min (warc_ts, url)), write partitioned by
-    host_bucket. At 100 TB this is the single full shuffle of the dataset;
-    every later fetch join is co-partitioned against it."""
+    """One-time corpus prep: canonicalize, key, dedup duplicate canonical
+    spellings (keep min (warc_ts, url)), write BUCKETED by url_hash.
+
+    At 100 TB this is the single full shuffle of the dataset. Because the
+    output is a Spark-bucketed table on the fetch-join key, every later
+    cycle's fetch join shuffles ONLY the slim scheduled side — the page
+    bodies (html) never cross a shuffle again."""
+    import uuid as _uuid
+
     pages = spark.read.parquet(pages_path)
     ch = canon_host_udf()
     pc = (
@@ -83,10 +88,42 @@ def prepare_pages(
         pc.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "url")
+        .select(*schemas.PAGES_CANON.fieldNames())
     )
-    rel = "pages_canon"
-    io._write_df(pc, rel, partition_by=["host_bucket"])
-    return os.path.join(io.root, rel)
+    loc = os.path.join(io.root, "pages_canon")
+    writer_name = f"pages_canon_writer_{_uuid.uuid4().hex[:8]}"
+    (
+        pc.write.mode("overwrite")
+        .bucketBy(cfg.n_buckets, "url_hash")
+        .sortBy("url_hash")
+        .option("path", loc)
+        .saveAsTable(writer_name)
+    )
+    # keep the files (external location), drop the session-local entry —
+    # readers re-register via register_pages_table
+    spark.sql(f"DROP TABLE {writer_name}")
+    return loc
+
+
+def register_pages_table(spark: SparkSession, loc: str, n_buckets: int) -> str:
+    """Register the bucketed pages_canon files as an external table in this
+    session's catalog (the in-memory catalog is session-scoped)."""
+    import hashlib
+
+    # a relative LOCATION would silently resolve under spark-warehouse/
+    loc = os.path.abspath(loc)
+    name = "pages_canon_" + hashlib.md5(loc.encode()).hexdigest()[:10]
+    if not spark.catalog.tableExists(name):
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in schemas.PAGES_CANON.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+    return name
 
 
 def _metric(df: DataFrame, name: str) -> DataFrame:
@@ -100,6 +137,7 @@ class CycleResult:
     cycle: int
     scheduled_rows: int
     manifest: dict
+    lineage: list | None = None
 
 
 class FrontierScheduler:
@@ -128,9 +166,10 @@ class FrontierScheduler:
     # -- inputs per cycle ---------------------------------------------------
 
     def _pages_canon(self) -> DataFrame:
-        return self.spark.read.schema(schemas.PAGES_CANON).parquet(
-            self.pages_canon_path
+        name = register_pages_table(
+            self.spark, self.pages_canon_path, self.cfg.n_buckets
         )
+        return self.spark.table(name)
 
     def _discoveries(self, cycle: int) -> DataFrame:
         if cycle == 1:
@@ -147,6 +186,19 @@ class FrontierScheduler:
 
     def run_cycle(self, cycle: int) -> CycleResult:
         spark, io, cfg = self.spark, self.io, self.cfg
+        import time as _time
+
+        _timing = os.environ.get("FRONTIER_TIMING") == "1"
+        _t = [_time.time()]
+
+        def tick(label, df=None):
+            if not _timing:
+                return
+            if df is not None:
+                df.count()  # force, for attribution only
+            now = _time.time()
+            print(f"  [cycle {cycle}] {label}: {now - _t[0]:.1f}s", flush=True)
+            _t[0] = now
 
         pending_prev = io.read_cycle(
             spark, "pending", cycle - 1, schemas.PENDING
@@ -154,9 +206,14 @@ class FrontierScheduler:
         seen = io.read_appended(spark, "url_seen", cycle - 1, schemas.URL_SEEN)
 
         # ---- 1. ingest: canonicalize -> key -> dedup (batch + seen) -------
+        # spread candidates across all cores BEFORE the pandas UDF — a
+        # single-file seed list would otherwise pin canonicalization to a
+        # couple of input splits
+        par = spark.sparkContext.defaultParallelism
         ch = canon_host_udf()
         cand = (
             self._discoveries(cycle)
+            .repartition(par)
             .withColumn("_ch", ch("url"))
             .select(
                 F.col("_ch.url_canon").alias("url_canon"),
@@ -168,6 +225,7 @@ class FrontierScheduler:
             .withColumn("host_bucket", _bucket(F.col("host"), cfg.n_buckets))
         )
         cand.persist()
+        tick("ingest: candidates", cand)
         cand_total = _metric(cand, "cand_total")
 
         # within-batch dedup: keep max priority per key (all other columns
@@ -201,11 +259,13 @@ class FrontierScheduler:
             "priority",
             F.col("discovered_ts").alias("crawl_ts"),
             "discovered_ts",
-            F.lit(0).alias("retries"),
+            F.lit(0).cast("int").alias("retries"),
         )
+        ingested.persist()  # reused by pending union AND url_seen delta
 
         pending_all = pending_prev.unionByName(ingested)
         pending_all.persist()
+        tick("dedup+union pending", pending_all)
 
         discovered = _metric(ingested, "discovered")
         scanned = _metric(pending_all, "rows_scanned")
@@ -219,6 +279,7 @@ class FrontierScheduler:
         # ---- 3. politeness budget: per-host window rank --------------------
         ranked = rank_by_budget(eligible, self.budgets, cfg.default_budget)
         ranked.persist()
+        tick("robots+budget window", ranked)
         scheduled = ranked.where(F.col("rk") <= F.col("budget")).drop(
             "rk", "budget"
         )
@@ -228,19 +289,31 @@ class FrontierScheduler:
         enqueued = _metric(scheduled, "enqueued")
 
         # ---- 4. fetch: co-partitioned join against pages, extract, links ---
-        pages = self._pages_canon().select("url_hash", "url_canon", "html", "text")
+        # join on the 64-bit key alone so the bucketed pages scan lines up
+        # with the join distribution (pages side: NO exchange, html never
+        # shuffles); the canonical-url equality is re-checked post-join
+        # (64-bit collisions degrade to a fetch miss, never a wrong page)
+        pages = self._pages_canon().select(
+            "url_hash",
+            F.col("url_canon").alias("page_canon"),
+            "html",
+            "text",
+        )
         fetched = (
-            scheduled.join(pages, ["url_hash", "url_canon"], "left")
-            .withColumn("extracted", extract_udf()(F.col("html")))
-            .withColumn("links", links_udf()(F.col("html")))
+            scheduled.join(pages, "url_hash", "left")
+            .withColumn("_h", handle_page_udf()(F.col("html")))
             .withColumn(
                 "ok",
-                F.col("html").isNotNull() & (F.col("extracted") == F.col("text")),
+                F.col("html").isNotNull()
+                & (F.col("page_canon") == F.col("url_canon"))
+                & (F.col("_h.extracted") == F.col("text")),
             )
+            .withColumn("links", F.col("_h.links"))
             # drop page bodies IMMEDIATELY — nothing downstream shuffles html
-            .drop("html", "text", "extracted")
+            .drop("html", "text", "page_canon", "_h")
         )
         fetched.persist()
+        tick("fetch+extract", fetched)
 
         done = fetched.where("ok")
         miss = fetched.where("NOT ok")
@@ -327,13 +400,22 @@ class FrontierScheduler:
             .select(*schemas.LINEAGE.fieldNames())
         )
 
+        # co-locate rows with their partition dir before the partitioned
+        # writes — otherwise every upstream task writes into every
+        # host_bucket dir (tiny-file explosion: tasks × buckets files)
         tables = {
-            "pending": (pending_next, ["host_bucket"]),
-            "url_seen": (url_seen_delta, ["host_bucket"]),
+            "pending": (
+                pending_next.repartition(cfg.n_buckets, "host_bucket"),
+                ["host_bucket"],
+            ),
+            "url_seen": (
+                url_seen_delta.repartition(cfg.n_buckets, "host_bucket"),
+                ["host_bucket"],
+            ),
             "scheduled": (scheduled_out, ["host_bucket"]),
             "discoveries": (discoveries_next, None),
-            "lineage": (lineage, None),
-            "resolved": (resolved, None),
+            "lineage": (lineage.coalesce(1), None),
+            "resolved": (resolved.coalesce(8), None),
         }
 
         meta = {}
@@ -344,22 +426,37 @@ class FrontierScheduler:
             ).unionByName(url_seen_delta)
             tables["url_seen_base"] = (full_seen, ["host_bucket"])
 
+        tick("plan outputs")
+        # materialize the persisted pipeline ONCE before the concurrent
+        # commit writes — otherwise the parallel write jobs race on the
+        # still-cold caches and each recomputes the full upstream plan
+        fetched.count()
+        tick("materialize caches")
         manifest = io.commit(cycle, tables, meta=meta)
+        tick("commit writes")
 
         if cfg.use_seen_filter:
             from .membership import rebuild_filters
 
             n_built = rebuild_filters(spark, io, cycle, cfg)
             manifest = io.commit_meta_update(cycle, {"filters": n_built})
+            tick("rebuild filters")
 
-        n_sched = io.read_cycle(
-            spark, "scheduled", cycle, schemas.SCHEDULED
-        ).count()
+        lin_rows = io.read_cycle(
+            spark, "lineage", cycle, schemas.LINEAGE
+        ).collect()
+        n_sched = sum(r["enqueued"] for r in lin_rows)
+        tick("read lineage")
 
-        for df in (cand, pending_all, ranked, fetched):
+        for df in (cand, ingested, pending_all, ranked, fetched):
             df.unpersist()
 
-        return CycleResult(cycle=cycle, scheduled_rows=n_sched, manifest=manifest)
+        return CycleResult(
+            cycle=cycle,
+            scheduled_rows=n_sched,
+            manifest=manifest,
+            lineage=[r.asDict() for r in lin_rows],
+        )
 
     def run(self, cycles: int, start_cycle: int | None = None) -> list[CycleResult]:
         start = start_cycle if start_cycle is not None else self.io.latest_cycle() + 1

@@ -34,7 +34,7 @@ import uuid
 
 class TableIO:
     def __init__(self, root: str):
-        self.root = root
+        self.root = os.path.abspath(root)
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "_tmp"), exist_ok=True)
 
@@ -82,13 +82,23 @@ class TableIO:
         url_seen_base: bool = False,
         meta: dict | None = None,
     ) -> dict:
-        """Write every table of the cycle, then atomically publish the
-        manifest. ``tables``: name -> (df, partition_by or None)."""
+        """Write every table of the cycle CONCURRENTLY (Spark schedules
+        independent jobs from separate threads), then atomically publish the
+        manifest — the all-or-nothing checkpoint barrier.
+        ``tables``: name -> (df, partition_by or None)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         entry: dict = {"cycle": cycle, "parent": cycle - 1, "tables": {}}
-        for name, (df, part) in tables.items():
+
+        def write_one(item):
+            name, (df, part) = item
             rel = f"{name}/cycle={cycle}"
             self._write_df(df, rel, part)
-            entry["tables"][name] = rel
+            return name, rel
+
+        with ThreadPoolExecutor(max_workers=len(tables)) as ex:
+            for name, rel in ex.map(write_one, tables.items()):
+                entry["tables"][name] = rel
         if url_seen_base:
             entry["url_seen_base"] = True
         entry["committed_ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

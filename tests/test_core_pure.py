@@ -52,8 +52,9 @@ def test_extract_and_links():
 
 def test_fixture_dup_and_messy_spellings():
     cfg = FixtureConfig(n_urls=2000)
-    # 97-rule: raw spelling canonicalizes to row i-97's canonical URL
-    assert canonicalize(cfg.raw_url(194)) == cfg.canon_url(97)
+    # 97-rule: raw spelling canonicalizes to row i-1's canonical URL
+    assert canonicalize(cfg.raw_url(194)) == cfg.canon_url(193)
+    assert canonicalize(cfg.raw_url(97)) == cfg.canon_url(96)
     # 13-rule: messy spelling canonicalizes to own canonical URL
     assert canonicalize(cfg.raw_url(13)) == cfg.canon_url(13)
     # plain rows
