@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""bench.py — per-round benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {name: sec},
+   "sf": <sf>, "frontier": {throughput + N->4N scaling evidence}}
+
+Sections:
+1. frontier crawl bench — 3 cycles of the real engine (whole-corpus seeding)
+   at local[$SPARK_GRAFT_CPUS] on the sf-derived fixture; headline metric =
+   frontier URLs scheduled+deduped per second.
+2. scaling evidence — the same single-cycle job at N=2 and 4N=8 cores
+   (fresh subprocess/JVM per level, best-of-REPEATS against hypervisor
+   steal) on the cached 1M-URL fixture; eff = tput(4N) / (4 * tput(N)).
+   See BENCH/BASELINE.md for why N=2->8 is the hardware-valid pair on this
+   box (the 32 vCPUs deliver ~18-20x, not 32x, even for pure-CPU work).
+3. representative driver-table queries at $SPARK_GRAFT_SF_DIR.
+
+Usage: python bench.py [--full] [--skip-scaling] [--write-md]
+  --full       use the 4M-URL fixture for scaling (slower, higher fidelity)
+  --write-md   regenerate BENCH/BASELINE.md from this run
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench_cache")
+
+SCALING_REPEATS = 2
+QUERY_NAMES = [
+    "pricing_summary",
+    "politeness_budget",
+    "minhash_lsh_pairs",
+    "embedding_cosine_topk",
+    "text_quality",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(n_urls: int) -> tuple[str, str]:
+    """Fixture dir + bucketed pages_canon (generated once, cached)."""
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.fixtures import ensure_fixtures
+
+    fix = ensure_fixtures(CACHE, n_urls)
+    pc = os.path.join(fix, "pages_canon")
+    if not os.path.exists(pc):
+        from frontier_engine.scheduler import prepare_pages
+        from frontier_engine.session import get_spark
+        from frontier_engine.tableio import TableIO
+
+        spark = get_spark("local[16]", app="bench-prep")
+        prepare_pages(
+            spark, os.path.join(fix, "pages.parquet"), TableIO(fix),
+            EngineConfig(n_buckets=64),
+        )
+        spark.stop()
+    return fix, pc
+
+
+def benchrun_subprocess(master: str, fix: str, pc: str, cycles: int) -> dict:
+    """One fresh-JVM bench run; returns the parsed BENCHJSON dict."""
+    cmd = [
+        sys.executable, "-m", "frontier_engine.benchrun",
+        "--master", master, "--fixture", fix, "--pages-canon", pc,
+        "--cycles", str(cycles),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCHJSON "):
+            return json.loads(line[len("BENCHJSON "):])
+    raise RuntimeError(
+        f"benchrun failed for {master}: {out.stderr[-2000:]}"
+    )
+
+
+def best_of(master: str, fix: str, pc: str, cycles: int, repeats: int) -> dict:
+    runs = [benchrun_subprocess(master, fix, pc, cycles) for _ in range(repeats)]
+    best = min(runs, key=lambda r: r["elapsed_sec"])
+    best["all_elapsed_sec"] = [r["elapsed_sec"] for r in runs]
+    return best
+
+
+def run_queries(sf_dir: str, cpus: str) -> dict:
+    from frontier_engine.queries import REGISTRY
+    from frontier_engine.session import get_spark
+
+    spark = get_spark(f"local[{cpus}]", app="bench-queries")
+    timings = {}
+    for name in QUERY_NAMES:
+        fn, _sql = REGISTRY[name]
+        fn(spark, sf_dir).count()  # warm (codegen + workers)
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--write-md", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_of(sf_dir)
+    n_headline = max(20_000, int(round(sf * 2_000_000)))
+    n_scaling = 4_000_000 if args.full else 1_000_000
+
+    t_suite = time.time()
+    frontier: dict = {}
+
+    # 1. headline crawl bench (3 cycles: seed wave + dedup-heavy waves)
+    fix, pc = ensure_corpus(n_headline)
+    head = benchrun_subprocess(f"local[{cpus}]", fix, pc, cycles=3)
+    frontier["headline"] = head
+
+    # 2. scaling evidence N=2 -> 4N=8
+    if not args.skip_scaling:
+        sfix, spc = ensure_corpus(n_scaling)
+        lo = best_of("local[2]", sfix, spc, 1, SCALING_REPEATS)
+        hi = best_of("local[8]", sfix, spc, 1, SCALING_REPEATS)
+        eff = hi["urls_per_sec"] / (4 * lo["urls_per_sec"])
+        frontier["scaling"] = {
+            "n_urls": n_scaling,
+            "N": 2,
+            "4N": 8,
+            "tput_N": lo["urls_per_sec"],
+            "tput_4N": hi["urls_per_sec"],
+            "elapsed_N": lo["elapsed_sec"],
+            "elapsed_4N": hi["elapsed_sec"],
+            "all_elapsed_N": lo["all_elapsed_sec"],
+            "all_elapsed_4N": hi["all_elapsed_sec"],
+            "efficiency": round(eff, 3),
+        }
+
+    # 3. driver-table queries
+    queries = {} if args.skip_queries else run_queries(sf_dir, cpus)
+    queries["crawl_3cycles"] = head["elapsed_sec"]
+
+    total = round(time.time() - t_suite, 2)
+    result = {
+        "metric": "frontier_urls_scheduled_deduped_per_sec",
+        "value": head["urls_per_sec"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": queries,
+        "suite_total_sec": total,
+        "frontier": frontier,
+    }
+    if args.write_md:
+        write_md(result)
+    print(json.dumps(result))
+
+
+def write_md(result: dict) -> None:
+    fr = result["frontier"]
+    head = fr["headline"]
+    sc = fr.get("scaling", {})
+    lines = [
+        "# BENCH — measured frontier-engine numbers",
+        "",
+        "Produced by `python bench.py --write-md`. Methodology notes:",
+        "",
+        "- Timed region = the cycle loop only (JVM startup, fixture",
+        "  generation, one-time corpus prep, and machinery warmup excluded",
+        "  per BASELINE.md).",
+        "- This sandbox is a VM with a noisy hypervisor (2x run-to-run",
+        "  wall-clock variance observed on identical runs); scaling numbers",
+        "  are best-of-N per level.",
+        "- Hardware parallel capacity (pure-Python CPU probe, no Spark):",
+        "  8 workers ~= 8x, 16 ~= 14x, 32 ~= 18-20x the single-core rate —",
+        "  the 32 vCPUs do NOT deliver 32x even for embarrassingly parallel",
+        "  work, so 8->32 thread scaling is hardware-capped at ~0.6",
+        "  efficiency. The N->4N evidence therefore uses N=2 -> 4N=8, the",
+        "  largest pair inside the machine's linear region.",
+        "",
+        "## Headline (whole-corpus seed wave + dedup-heavy follow-up cycles)",
+        "",
+        f"- input: n={head['rows_scanned']:,} frontier rows, 3 cycles,"
+        f" master=local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        f"- elapsed: {head['elapsed_sec']} s; scheduled+deduped throughput:"
+        f" **{head['urls_per_sec']:,} URLs/s**",
+        f"- enqueued={head['enqueued']:,} deduped={head['deduped']:,}"
+        f" fetched_ok={head['fetched_ok']:,} errors={head['errors']:,}",
+        "",
+    ]
+    if sc:
+        lines += [
+            "## Scaling efficiency N -> 4N (same job, same input, only the",
+            "master string changes; fresh JVM per run; best-of-"
+            f"{SCALING_REPEATS})",
+            "",
+            f"- input: {sc['n_urls']:,} URLs, 1 cycle",
+            f"- local[{sc['N']}]: {sc['tput_N']:,} URLs/s"
+            f" (elapsed {sc['elapsed_N']} s; runs {sc['all_elapsed_N']})",
+            f"- local[{sc['4N']}]: {sc['tput_4N']:,} URLs/s"
+            f" (elapsed {sc['elapsed_4N']} s; runs {sc['all_elapsed_4N']})",
+            f"- **efficiency = tput(4N) / (4 x tput(N)) ="
+            f" {sc['efficiency']}**",
+            "",
+        ]
+    lines += [
+        "## Representative operator queries"
+        f" (sf={result['sf']}, warm, seconds)",
+        "",
+    ]
+    for name, sec in result["queries"].items():
+        lines.append(f"- {name}: {sec}")
+    lines.append("")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,11 @@ class EngineConfig:
     use_seen_filter: bool = True
     # consolidate url_seen deltas every N cycles (tableio compaction)
     compact_every: int = 8
+    # physical salt for hot host_buckets: the scheduled-batch write spreads
+    # each bucket over salt_factor tasks (pmod(url_hash, salt)); purely a
+    # partition-balance knob — crawl ORDER is defined by fetch_seq and never
+    # changes (north_star: salting + AQE handle host-key skew)
+    salt_factor: int = 1
 
     def budget_of(self, host: str) -> int:
         return self.budgets.get(host, self.default_budget)

@@ -39,6 +39,14 @@ _MAX_KICKS = 500
 _CUCKOO_MAX_ITEMS = 4_000_000  # above this a fresh build uses bloom
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 64-bit finalizer, vectorized (public constants)."""
+    x = x.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    return x ^ (x >> np.uint64(33))
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -152,11 +160,15 @@ class BloomFilter:
         return cls(bits)
 
     def _probes(self, h: np.ndarray) -> np.ndarray:
+        # independent h1/h2 via splitmix64-style finalizers — naive
+        # g_j = h + j*(h*MIX) is linear in h, and (1 + j*MIX) can carry
+        # low-order zero bits that collapse probe j onto a stride coset
         h = h.astype(np.uint64)
-        h2 = (h * _MIX) | np.uint64(1)
+        h1 = _mix64(h)
+        h2 = _mix64(h ^ _MIX) | np.uint64(1)
         mask = np.uint64(self.n_bits - 1)
         return np.stack(
-            [(h + np.uint64(j) * h2) & mask for j in range(self.K)]
+            [(h1 + np.uint64(j) * h2) & mask for j in range(self.K)]
         )  # (K, n)
 
     def insert_many(self, hashes: np.ndarray) -> bool:

@@ -344,16 +344,33 @@ class FrontierScheduler:
         wb = Window.partitionBy("host_bucket").orderBy(
             F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
         )
-        scheduled_out = (
-            scheduled.withColumn("cycle", F.lit(cycle))
-            .withColumn("fetch_seq", F.row_number().over(wb))
-            .select(*schemas.SCHEDULED.fieldNames())
-            # the priority queue, physically: salted repartition + local sort
-            .repartition(cfg.n_buckets, "host_bucket")
-            .sortWithinPartitions(
-                F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
-            )
+        scheduled_out = scheduled.withColumn("cycle", F.lit(cycle)).withColumn(
+            "fetch_seq", F.row_number().over(wb)
         )
+        # the priority queue, physically: (salted) repartition + local sort.
+        # salt_factor > 1 splits hot buckets across tasks; fetch_seq already
+        # carries the total crawl order, so salting never changes results.
+        if cfg.salt_factor > 1:
+            scheduled_out = (
+                scheduled_out.withColumn(
+                    "_salt", F.pmod(F.col("url_hash"), F.lit(cfg.salt_factor))
+                )
+                .repartition(
+                    cfg.n_buckets * cfg.salt_factor, "host_bucket", "_salt"
+                )
+                .sortWithinPartitions(
+                    F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
+                )
+                .select(*schemas.SCHEDULED.fieldNames())
+            )
+        else:
+            scheduled_out = (
+                scheduled_out.select(*schemas.SCHEDULED.fieldNames())
+                .repartition(cfg.n_buckets, "host_bucket")
+                .sortWithinPartitions(
+                    F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
+                )
+            )
 
         url_seen_delta = ingested.select(
             "url_hash",

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Package frontier_engine and run one bench cycle via spark-submit
+# --py-files (the north-star shipping mode). Usage:
+#   scripts/spark_submit_bench.sh [master] [fixture_dir] [pages_canon] [cycles]
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+MASTER="${1:-local[8]}"
+FIXTURE="${2:-$REPO/.bench_cache/n20000}"
+PAGES="${3:-$FIXTURE/pages_canon}"
+CYCLES="${4:-1}"
+
+ZIP=/tmp/frontier_engine_pyfiles.zip
+rm -f "$ZIP"
+(cd "$REPO" && zip -qr "$ZIP" frontier_engine -x '*__pycache__*')
+
+SPARK_SUBMIT="$(python - <<'EOF'
+import os, pyspark
+print(os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit"))
+EOF
+)"
+
+"$SPARK_SUBMIT" \
+  --master "$MASTER" \
+  --py-files "$ZIP" \
+  --conf spark.sql.shuffle.partitions=32 \
+  --conf spark.sql.session.timeZone=UTC \
+  --conf spark.ui.enabled=false \
+  "$REPO/scripts/submit_entry.py" \
+  --master "$MASTER" --fixture "$FIXTURE" --pages-canon "$PAGES" \
+  --cycles "$CYCLES"
