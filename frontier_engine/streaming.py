@@ -1,0 +1,74 @@
+"""Structured-Streaming wrapper: the reference's ``run_always`` daemon loop
+(container_crawler/__init__.py Crawler.run_always ≈L405 — run_once, sleep
+``interval`` minus elapsed, repeat) re-expressed as a streaming query whose
+micro-batch trigger drives ``run_cycle`` via ``foreachBatch``.
+
+The frontier tables are the real state (snapshot-committed, resumable), so
+the streaming source only provides the heartbeat — a ``rate`` source at one
+row per trigger. Stopping and restarting the stream resumes exactly where
+the manifests left off, the same crash-safety contract as the batch loop.
+
+Also provides the windowed/watermark streaming aggregation shape over an
+events stream (late-data-tolerant lineage rollup) for completeness of the
+streaming operator surface.
+"""
+
+from __future__ import annotations
+
+import threading
+
+
+def run_streaming_cycles(
+    eng, n_cycles: int, processing_time: str = "0 seconds", timeout_sec: int = 600
+):
+    """Drive ``n_cycles`` crawl cycles from a streaming heartbeat.
+
+    Returns the list of CycleResult. The heartbeat is a rate-source
+    micro-batch; each batch advances the frontier by exactly one committed
+    cycle (idempotent: a replayed batch re-runs resume logic, which reads
+    latest_cycle() and continues after it)."""
+    results = []
+    done = threading.Event()
+
+    def one_cycle(batch_df, batch_id):
+        if done.is_set():
+            return
+        cycle = eng.io.latest_cycle() + 1
+        results.append(eng.run_cycle(cycle))
+        if len(results) >= n_cycles:
+            done.set()
+
+    q = (
+        eng.spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.trigger(processingTime=processing_time)
+        .foreachBatch(one_cycle)
+        .start()
+    )
+    try:
+        import time
+
+        t0 = time.time()
+        while not done.is_set() and time.time() - t0 < timeout_sec:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return results
+
+
+def windowed_event_counts(events_stream, watermark: str = "1 hour",
+                          window: str = "1 hour"):
+    """Late-data-tolerant tumbling-window aggregation over a streaming
+    events table (watermark on the event-time column): the streaming shape
+    of the engine's lineage rollups."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w.start", "w.end", "event_type", "n")
+    )

@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the optimizations the engine's scale story
+depends on must be visible in EXPLAIN — predicate pushdown to the parquet
+scan, column pruning (html never read unless fetched), broadcast of the
+small dims, and the bucketed fetch join not exchanging the pages side."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_predicate_pushdown_incremental_scan(spark):
+    from frontier_engine.queries import q_incremental_scan
+
+    plan = _plan(q_incremental_scan(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThan(ts" in plan, plan
+
+
+def test_column_pruning_never_reads_html_for_counts(spark, tiny_fixture_dir,
+                                                    tmp_path_factory):
+    from frontier_engine.config import config_for_fixture
+    from frontier_engine.fixtures import FixtureConfig
+    from frontier_engine.golden import build_engine
+
+    cfg = config_for_fixture(FixtureConfig(n_urls=2000))
+    work = str(tmp_path_factory.mktemp("engine-plan"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    # a lineage-style count over the corpus must not read the html column
+    counts = eng._pages_canon().groupBy("host_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = _plan(counts)
+    scan_lines = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert scan_lines and all("html" not in l for l in scan_lines), plan
+
+
+def test_broadcast_join_for_dims(spark):
+    from frontier_engine.queries import q_top_customers
+
+    plan = _plan(q_top_customers(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_fetch_join_does_not_shuffle_pages(spark, tiny_fixture_dir,
+                                           tmp_path_factory):
+    """The fetch join must not put an Exchange above the pages scan — either
+    the pages side streams into a broadcast join (tiny corpus) or its
+    bucketed layout satisfies the join distribution (big corpus)."""
+    from frontier_engine.config import config_for_fixture
+    from frontier_engine.fixtures import FixtureConfig
+    from frontier_engine.golden import build_engine
+
+    cfg = config_for_fixture(FixtureConfig(n_urls=2000))
+    work = str(tmp_path_factory.mktemp("engine-plan2"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    pages = eng._pages_canon().select(
+        "url_hash", F.col("url_canon").alias("page_canon"), "html", "text"
+    )
+    sched = eng._pages_canon().select("url_hash", "url_canon").limit(50)
+    j = sched.join(pages, "url_hash", "left")
+    plan = _plan(j)
+    # find the pages-side scan; assert no ShuffleExchange directly above it
+    lines = plan.split("\n")
+    scan_idx = [
+        i for i, l in enumerate(lines)
+        if "Scan parquet" in l and "pages_canon" in l
+    ]
+    assert scan_idx, plan
+    for i in scan_idx:
+        above = "\n".join(lines[max(0, i - 6): i])
+        assert "ShuffleExchange" not in above and "Exchange hashpartitioning" not in above, plan
