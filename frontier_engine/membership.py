@@ -82,8 +82,31 @@ class CuckooFilter:
         return fp.astype(np.uint16), i1.astype(np.int64), i2.astype(np.int64)
 
     def insert_many(self, hashes: np.ndarray) -> bool:
-        """Insert all; False if any insertion failed (overflow)."""
+        """Insert all; False if any insertion failed (overflow).
+
+        Bulk-vectorized: repeated passes place one fingerprint per empty
+        (bucket, slot) via np.unique de-collision; only the residue that
+        needs cuckoo eviction falls back to the per-item loop."""
         fps, i1s, i2s = self._fp_i1_i2(hashes)
+        t = self.table
+        pending = np.arange(len(hashes))
+        for idxs in (i1s, i2s):
+            for s in range(_SLOTS):
+                if len(pending) == 0:
+                    break
+                cand = idxs[pending]
+                empty = t[cand, s] == 0
+                if not empty.any():
+                    continue
+                uniq_cand, first = np.unique(cand[empty], return_index=True)
+                chosen = pending[empty][first]
+                t[idxs[chosen], s] = fps[chosen]
+                pending = pending[~np.isin(pending, chosen)]
+        if len(pending) == 0:
+            return True
+        return self._insert_slow(fps[pending], i1s[pending], i2s[pending])
+
+    def _insert_slow(self, fps, i1s, i2s) -> bool:
         t = self.table
         for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
             placed = False
@@ -104,11 +127,8 @@ class CuckooFilter:
             for kick in range(_MAX_KICKS):
                 s = kick % _SLOTS
                 cur_fp, t[cur_idx][s] = int(t[cur_idx][s]), cur_fp
-                mask = np.uint64(self.n_buckets - 1)
-                alt = int(
-                    (np.uint64(cur_idx)
-                     ^ ((np.uint64(cur_fp) * _MIX) >> np.uint64(32))) & mask
-                )
+                mixed = (cur_fp * int(_MIX)) % (1 << 64)
+                alt = (cur_idx ^ (mixed >> 32)) & (self.n_buckets - 1)
                 row = t[alt]
                 placed2 = False
                 for s2 in range(_SLOTS):

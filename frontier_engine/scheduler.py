@@ -208,12 +208,15 @@ class FrontierScheduler:
         # ---- 1. ingest: canonicalize -> key -> dedup (batch + seen) -------
         # spread candidates across all cores BEFORE the pandas UDF — a
         # single-file seed list would otherwise pin canonicalization to a
-        # couple of input splits
+        # couple of input splits (skip the shuffle when the input is
+        # already split finely enough)
         par = spark.sparkContext.defaultParallelism
+        discoveries = self._discoveries(cycle)
+        if discoveries.rdd.getNumPartitions() < par:
+            discoveries = discoveries.repartition(par)
         ch = canon_host_udf()
         cand = (
-            self._discoveries(cycle)
-            .repartition(par)
+            discoveries
             .withColumn("_ch", ch("url"))
             .select(
                 F.col("_ch.url_canon").alias("url_canon"),

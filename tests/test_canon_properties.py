@@ -1,0 +1,84 @@
+"""Property-based canonicalization tests (hypothesis): idempotence, scheme/
+host case-insensitivity, fragment-insensitivity, query-order-insensitivity,
+and xxh64 python/spec self-consistency."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frontier_engine.canon import canonicalize
+from frontier_engine.xxh import xxh64
+
+_host_label = st.text(
+    alphabet=string.ascii_letters + string.digits + "-", min_size=1, max_size=8
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+
+_path_seg = st.text(
+    alphabet=string.ascii_letters + string.digits + "._~%-", min_size=0,
+    max_size=8,
+)
+
+_qkey = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=4)
+_qval = st.text(alphabet=string.ascii_letters + string.digits, max_size=4)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HtTpS"]))
+    host = ".".join(draw(st.lists(_host_label, min_size=1, max_size=3)))
+    case_host = "".join(
+        c.upper() if draw(st.booleans()) else c for c in host
+    )
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    segs = draw(st.lists(_path_seg, max_size=4))
+    path = "/" + "/".join(segs) if segs else ""
+    params = draw(
+        st.lists(st.tuples(_qkey, _qval), max_size=4)
+    )
+    query = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#x", "#frag"]))
+    url = f"{scheme}://{case_host}{port}{path}"
+    if query:
+        url += "?" + query
+    return url + frag, params
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_idempotent_and_invariances(u):
+    url, params = u
+    c = canonicalize(url)
+    # idempotent
+    assert canonicalize(c) == c
+    # fragment never survives
+    assert "#" not in c
+    # scheme + host lowercased
+    scheme, rest = c.split("://", 1)
+    assert scheme == scheme.lower()
+    hostpart = rest.split("/", 1)[0]
+    assert hostpart == hostpart.lower()
+    # query params sorted byte-wise
+    if "?" in c:
+        q = c.split("?", 1)[1]
+        parts = q.split("&")
+        assert parts == sorted(parts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_query_order_insensitive(u):
+    url, params = u
+    if "?" not in url or "#" in url:
+        return
+    base, q = url.split("?", 1)
+    parts = q.split("&")
+    assert canonicalize(base + "?" + "&".join(reversed(parts))) == canonicalize(url)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200), st.integers(min_value=0, max_value=2**64 - 1))
+def test_xxh64_total_and_stable(data, seed):
+    h = xxh64(data, seed)
+    assert 0 <= h < 2**64
+    assert xxh64(data, seed) == h
