@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, ".bench_cache")
 
-SCALING_REPEATS = 2
+SCALING_REPEATS = 3
 SCALING_N = 1
 SCALING_4N = 4
 QUERY_NAMES = [

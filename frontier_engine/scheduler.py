@@ -184,7 +184,7 @@ class FrontierScheduler:
 
     # -- the cycle ---------------------------------------------------------
 
-    def run_cycle(self, cycle: int) -> CycleResult:
+    def run_cycle(self, cycle: int, build_filters: bool = True) -> CycleResult:
         spark, io, cfg = self.spark, self.io, self.cfg
         import time as _time
 
@@ -200,6 +200,7 @@ class FrontierScheduler:
             print(f"  [cycle {cycle}] {label}: {now - _t[0]:.1f}s", flush=True)
             _t[0] = now
 
+        fresh_start = io.manifest(cycle - 1) is None  # nothing committed yet
         pending_prev = io.read_cycle(
             spark, "pending", cycle - 1, schemas.PENDING
         )
@@ -243,7 +244,10 @@ class FrontierScheduler:
 
         # seen dedup: cuckoo prefilter (definite-negatives bypass the exact
         # anti-join; possibles are confirmed exactly — membership.py)
-        if cfg.use_seen_filter:
+        if fresh_start:
+            # provably empty seen-set: every grouped candidate is new
+            new_keys = cand_g
+        elif cfg.use_seen_filter:
             from .membership import split_by_filter
 
             definite_new, maybe_seen = split_by_filter(
@@ -266,7 +270,9 @@ class FrontierScheduler:
         )
         ingested.persist()  # reused by pending union AND url_seen delta
 
-        pending_all = pending_prev.unionByName(ingested)
+        pending_all = (
+            ingested if fresh_start else pending_prev.unionByName(ingested)
+        )
         pending_all.persist()
         tick("dedup+union pending", pending_all)
 
@@ -455,7 +461,12 @@ class FrontierScheduler:
         manifest = io.commit(cycle, tables, meta=meta)
         tick("commit writes")
 
-        if cfg.use_seen_filter:
+        if cfg.use_seen_filter and build_filters:
+            # filter sidecars are advisory: they only serve LATER cycles'
+            # dedup prefilter, and a missing/stale sidecar is patched by an
+            # exact anti-join over the gap (split_by_filter). The driver
+            # loop therefore skips the build when no subsequent cycle will
+            # consume it (build_filters=False on a run's final cycle).
             from .membership import rebuild_filters
 
             n_built = rebuild_filters(spark, io, cycle, cfg)
@@ -480,4 +491,7 @@ class FrontierScheduler:
 
     def run(self, cycles: int, start_cycle: int | None = None) -> list[CycleResult]:
         start = start_cycle if start_cycle is not None else self.io.latest_cycle() + 1
-        return [self.run_cycle(k) for k in range(start, start + cycles)]
+        return [
+            self.run_cycle(k, build_filters=(k < start + cycles - 1))
+            for k in range(start, start + cycles)
+        ]

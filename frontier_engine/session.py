@@ -37,7 +37,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    for k, v in (extra_conf or {}).items():
+    import json as _json
+
+    env_conf = os.environ.get("FRONTIER_SPARK_CONF")
+    merged = dict(_json.loads(env_conf)) if env_conf else {}
+    merged.update(extra_conf or {})
+    for k, v in merged.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
