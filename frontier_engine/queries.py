@@ -678,6 +678,55 @@ SQL_ANN_LSH_BUCKETS = (
 )
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN at scale: search ONLY the query's LSH bucket (candidate set
+    ~1/16th of the corpus), then exact cosine top-k inside it."""
+    e = _t(spark, sf_dir, "embeddings")
+    ee = _emb_double()
+    bucket = None
+    for j in range(4):
+        bit = F.when(_dot(ee, _lsh_plane(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", ee.alias("ee"), bucket.cast("int").alias("bucket"))
+    q = b.where("vec_id = 0").select(
+        F.col("ee").alias("qe"), F.col("bucket").alias("qb")
+    )
+    cos = _dot(F.col("ee"), F.col("qe")) / (
+        F.sqrt(_dot(F.col("ee"), F.col("ee")))
+        * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    )
+    return (
+        b.crossJoin(F.broadcast(q))
+        .where((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
+        .orderBy(cos.desc(), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id")
+    )
+
+
+def _lsh_plane_sql(j: int) -> str:
+    return (
+        f"list_transform(range({_EMB_DIM}), d -> "
+        f"CAST(((d*31 + {j}*17) % 7) - 3 AS DOUBLE))"
+    )
+
+
+SQL_ANN_LSH_TOPK = (
+    "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ee, CAST("
+    + " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {_lsh_plane_sql(j)})"
+        f" > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    + " AS INT) AS bucket FROM embeddings), "
+    "q AS (SELECT ee AS qe, bucket AS qb FROM b WHERE vec_id = 0) "
+    "SELECT vec_id FROM b, q WHERE b.bucket = q.qb AND vec_id <> 0 "
+    "ORDER BY list_inner_product(ee, qe) / "
+    "(sqrt(list_inner_product(ee, ee)) * sqrt(list_inner_product(qe, qe))) "
+    "DESC, vec_id LIMIT 5"
+)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: token counts, avg token length, stopword ratio."""
     d = _t(spark, sf_dir, "documents")
@@ -846,6 +895,7 @@ REGISTRY: dict = {
     "simhash16": (q_simhash16, SQL_SIMHASH16),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

@@ -35,8 +35,17 @@ def test_canonicalize_spec():
     assert f("http://h.com/100%") == "http://h.com/100%"  # malformed escape kept
     assert host_of("https://u@h.com:8080/x") == "h.com:8080"
     assert path_of("https://h.com/p/1?a=2") == "/p/1"
+    # unicode hosts/paths survive (reference's unicode container tests)
+    assert f("https://BÜcher.example/straße?b=2&a=1") == (
+        "https://bücher.example/straße?a=1&b=2"
+    )
+    assert f("https://h.com/日本語/p?x=café") == "https://h.com/日本語/p?x=café"
     # idempotent
-    for u in ["HTTP://A.B:80/x/../y?z=%41&a=%7e#f", "https://h.com/p?b=2&a=1"]:
+    for u in [
+        "HTTP://A.B:80/x/../y?z=%41&a=%7e#f",
+        "https://h.com/p?b=2&a=1",
+        "https://BÜcher.example/straße?b=2&a=1",
+    ]:
         assert f(f(u)) == f(u)
 
 
