@@ -195,8 +195,10 @@ def q_incremental_scan(spark, sf_dir):
     analog; both predicates push to the parquet scan)."""
     e = _t(spark, sf_dir, "events")
     return (
+        # driver tables carry TIMESTAMP_NTZ — compare against an NTZ literal
+        # so the predicate is session-timezone-independent
         e.where(
-            (F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            (F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
             & (F.col("event_id") % 2 == 0)
         )
         .groupBy("event_type")
@@ -248,7 +250,9 @@ WHERE NOT (source LIKE 'src1%' OR source LIKE 'src3%')
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        li.where(
+            F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -370,16 +374,19 @@ FROM events WHERE event_id % 10 = 0
 
 
 def q_time_buckets(spark, sf_dir):
-    """Tumbling time-bucket aggregation (hourly)."""
+    """Tumbling time-bucket aggregation (hourly). The bucket key is the
+    wall-clock hour as a string: ts is TIMESTAMP_NTZ and Spark's date_trunc
+    would round-trip it through the session timezone."""
     e = _t(spark, sf_dir, "events")
+    hour_key = F.substring(F.col("ts").cast("string"), 1, 13)
     return (
-        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        e.groupBy(hour_key.alias("hour_key"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
     )
 
 
 SQL_TIME_BUCKETS = """
-SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+SELECT substr(CAST(ts AS VARCHAR), 1, 13) AS hour_key, COUNT(*) AS n,
        ROUND(SUM(value), 3) AS sum_value
 FROM events GROUP BY 1
 """
