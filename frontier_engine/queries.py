@@ -106,7 +106,7 @@ def q_politeness_budget(spark, sf_dir):
         F.desc("value"), F.asc("ts"), F.asc("event_id")
     )
     return (
-        e.withColumn("rk", F.row_number().over(w))
+        e.withColumn("rk", F.row_number().over(w).cast("long"))
         .where("rk <= 5")
         .select("user_id", "event_id", "rk")
     )
@@ -131,7 +131,7 @@ def q_priority_topk(spark, sf_dir):
     )
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("doc_id"))
     return (
-        d.withColumn("rk", F.row_number().over(w))
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
         .where("rk <= 3")
         .select("host", "doc_id", "priority", "rk")
     )
@@ -741,7 +741,7 @@ def q_text_quality(spark, sf_dir):
     stops = F.filter(words, lambda w: (w == "the") | (w == "a"))
     return d.select(
         "doc_id",
-        F.size(words).alias("n_words"),
+        F.size(words).cast("long").alias("n_words"),
         F.round(F.length("text") / F.size(words), 4).alias("avg_token_len"),
         F.round(F.size(stops) / F.size(words), 4).alias("stop_ratio"),
     )
@@ -794,10 +794,10 @@ def q_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+"), F.lit(0))).alias(
-            "alpha_tokens"
-        ),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z]+"), F.lit(0)))
+        .cast("long")
+        .alias("alpha_tokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
     )
 
@@ -831,7 +831,7 @@ def q_binary_meta(spark, sf_dir):
     blob = F.encode("text", "UTF-8")
     return d.select(
         "doc_id",
-        F.length(blob).alias("byte_len"),
+        F.length(blob).cast("long").alias("byte_len"),
         F.upper(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias(
             "head_hex"
         ),
