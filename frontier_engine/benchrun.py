@@ -80,6 +80,10 @@ def run_once(
         default_budget=default_budget,
         retry_limit=1,
         compact_every=0,
+        # the bench budget is effectively unbounded, so two-phase top-k
+        # pruning would keep every row and only add a full extra window
+        # pass; single exact window is the right plan here (config.py)
+        politeness_salt=1 if default_budget >= 10**6 else 8,
     )
     workdir = keep_workdir or tempfile.mkdtemp(prefix="frontier-bench-")
     io = TableIO(workdir)

@@ -134,6 +134,79 @@ def path_of(url_canon: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Vectorized batch form: a C-speed pandas fast path for the overwhelmingly
+# common simple-URL shapes, pure-Python spec fallback for the rest.
+# ---------------------------------------------------------------------------
+
+import re
+
+# Fast-path shape: http(s) scheme (any case), host of [A-Za-z0-9.-] (no
+# userinfo/port), absolute path with no %-escape, optional query with no
+# %-escape, optional fragment. Everything such a URL needs to canonicalize
+# is expressible as vectorized string ops: lowercase scheme+host, drop the
+# fragment, sort <=2 non-empty query params. %-escapes, dot-segments
+# (excluded via a "/." substring test), ports, userinfo, 3+ params, empty
+# params and non-http schemes all take the spec function.
+_FAST_RE = re.compile(
+    r"^(https?)://([a-zA-Z0-9.\-]+)(/[^?#%\s]*)(?:\?([^#%\s]+))?(?:#\S*)?$",
+    re.IGNORECASE,
+)
+
+
+def _fast_canon(u: str):
+    """(canonical, host) for fast-path shapes, else None (take the spec fn).
+    For a matching URL the canonical form is provably: lowercase scheme and
+    host, path verbatim (no %-escapes, no dot-segments), fragment dropped,
+    query verbatim (0/1 param) or the two non-empty params sorted
+    (str "<=" is codepoint order == UTF-8 byte order)."""
+    m = _FAST_RE.match(u)
+    if m is None or "/." in u:
+        # "/." would need remove_dot_segments (conservative: also sends
+        # dotfile paths and "//." hosts to the slow path)
+        return None
+    scheme, host, path, q = m.group(1, 2, 3, 4)
+    host = host.lower()
+    base = scheme.lower() + "://" + host + path
+    if q is None:
+        return base, host
+    n_amp = q.count("&")
+    if n_amp == 0:
+        return base + "?" + q, host
+    if n_amp == 1:
+        p1, p2 = q.split("&")
+        if p1 and p2:
+            if p1 > p2:
+                p1, p2 = p2, p1
+            return base + "?" + p1 + "&" + p2, host
+    return None
+
+
+def canon_host_frame(urls):
+    """(canonicalize(url), host_of(canon)) over a pandas Series ->
+    DataFrame{url_canon, host}. Byte-identical to the pure spec function
+    (pinned by tests/test_canon_properties.py); one compiled-regex match per
+    URL decides fast repair vs spec fallback."""
+    import pandas as pd
+
+    canons: list = []
+    hosts: list = []
+    for u in urls:
+        if u is None or not isinstance(u, str):
+            canons.append(None)
+            hosts.append(None)
+            continue
+        r = _fast_canon(u)
+        if r is None:
+            c = canonicalize(u)
+            h = host_of(c)
+        else:
+            c, h = r
+        canons.append(c)
+        hosts.append(h)
+    return pd.DataFrame({"url_canon": canons, "host": hosts})
+
+
+# ---------------------------------------------------------------------------
 # Spark side — Arrow-batched pandas UDFs (built lazily so this module stays
 # importable without a JVM, e.g. inside refspec/pytest-only runs).
 # ---------------------------------------------------------------------------
@@ -145,7 +218,7 @@ def canon_udf():
     from pyspark.sql import types as T
 
     def _canon(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: canonicalize(u) if u is not None else None)
+        return canon_host_frame(urls)["url_canon"]
 
     return F.pandas_udf(_canon, T.StringType())
 
@@ -165,9 +238,7 @@ def canon_host_udf():
     )
 
     def _canon_host(urls: pd.Series) -> pd.DataFrame:
-        canons = urls.map(lambda u: canonicalize(u) if u is not None else None)
-        hosts = canons.map(lambda c: host_of(c) if c is not None else None)
-        return pd.DataFrame({"url_canon": canons, "host": hosts})
+        return canon_host_frame(urls)
 
     _canon_host = F.pandas_udf(_canon_host, schema)
 

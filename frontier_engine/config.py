@@ -36,6 +36,18 @@ class EngineConfig:
     # partition-balance knob — crawl ORDER is defined by fetch_seq and never
     # changes (north_star: salting + AQE handle host-key skew)
     salt_factor: int = 1
+    # two-phase politeness window (politeness.rank_by_budget): >1 pre-ranks
+    # per (host, pmod(url_hash, salt)) keeping <= budget rows per salt, so
+    # the exact per-host window never sorts more than salt*budget rows of
+    # one host in one task (skew-safe at a 10^10-URL frontier). 1 = single
+    # exact window — the right choice when budgets are effectively unbounded
+    # (top-k pruning would keep everything and only add a pass).
+    politeness_salt: int = 8
+    # commit a per-cycle page_stats table (corpus.enrich over the cycle's
+    # successfully fetched pages: fingerprint / quality / token counts /
+    # language ID / MinHash-LSH near-dup group). Off by default: it is
+    # value-add output beyond the frontier metric, not cycle bookkeeping.
+    enrich_pages: bool = False
 
     def budget_of(self, host: str) -> int:
         return self.budgets.get(host, self.default_budget)

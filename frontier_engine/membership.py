@@ -234,6 +234,22 @@ def _sidecar(dir_: str, bucket: int) -> str:
     return os.path.join(dir_, f"bucket={bucket}.npz")
 
 
+# per-Python-worker sidecar cache for the mapInPandas prefilter; keyed by
+# (cycle-specific dir, bucket) so entries are immutable — a worker holds at
+# most the buckets its batches touched (cap guards pathological reuse)
+_FILTER_CACHE: dict = {}
+
+
+def _cached_filter(fdir: str, bucket: int):
+    key = (fdir, bucket)
+    if key not in _FILTER_CACHE:
+        if len(_FILTER_CACHE) > 512:
+            _FILTER_CACHE.clear()
+        path = _sidecar(fdir, bucket)
+        _FILTER_CACHE[key] = load_filter(path) if os.path.exists(path) else None
+    return _FILTER_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # Spark integration
 # ---------------------------------------------------------------------------
@@ -263,21 +279,30 @@ def split_by_filter(cand: "DataFrame", io, through_cycle: int, cfg):
         cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
     )
 
-    def check(pdf):
+    # mapInPandas, NOT groupBy(host_bucket).applyInPandas: the candidates
+    # were just hash-partitioned by url_hash (the within-batch dedup agg), so
+    # a grouped-map would add a full extra shuffle AND require an entire
+    # bucket's candidates in one pandas frame. Instead every task tests its
+    # own Arrow batches, loading whichever buckets' sidecars it touches from
+    # a per-worker cache (sidecars are small; <= n_buckets entries/worker,
+    # cycle-keyed so never stale). Memory stays bounded by the Arrow batch.
+    def check_batches(batches):
         import numpy as _np
-        import os as _os
 
-        b = int(pdf["host_bucket"].iloc[0])
-        path = _sidecar(fdir, b)
-        if not _os.path.exists(path):
-            pdf["maybe_seen"] = True
-            return pdf
-        f = load_filter(path)
-        h = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
-        pdf["maybe_seen"] = f.contains_many(h)
-        return pdf
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = _np.ones(len(pdf), dtype=bool)  # no sidecar => maybe-seen
+            h_all = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
+            for b, idx in pdf.groupby("host_bucket").indices.items():
+                f = _cached_filter(fdir, int(b))
+                if f is not None:
+                    out[idx] = f.contains_many(h_all[idx])
+            pdf = pdf.copy()
+            pdf["maybe_seen"] = out
+            yield pdf
 
-    tested = cand.groupBy("host_bucket").applyInPandas(check, out_schema)
+    tested = cand.mapInPandas(check_batches, out_schema)
     definite_new = tested.where("NOT maybe_seen").drop("maybe_seen")
     maybe_seen = tested.where("maybe_seen").drop("maybe_seen")
 
@@ -305,13 +330,23 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> int:
     out_dir = io.filter_dir(cycle)
     os.makedirs(out_dir, exist_ok=True)
     prev_dir = None
+    prev_found = 0  # newest cycle whose sidecars we extend (0 = none)
     for c in range(cycle - 1, 0, -1):
         m = io.manifest(c)
         if m and m.get("meta", {}).get("filters") is not None:
             prev_dir = io.filter_dir(c)
+            prev_found = c
             break
 
-    delta = io.read_cycle(spark, "url_seen", cycle, schemas.URL_SEEN)
+    # Insert EVERY committed delta the previous sidecars don't cover — not
+    # just this cycle's. A run's final cycle skips the build
+    # (build_filters=False), so after a resume the newest sidecar can lag by
+    # several cycles; building from read_cycle(cycle) alone would leave the
+    # intervening deltas permanently missing from all later sidecars and
+    # misclassify seen URLs as definitely-new (duplicate url_seen rows).
+    delta = io.read_delta_range(
+        spark, "url_seen", prev_found + 1, cycle, schemas.URL_SEEN
+    )
     res_schema = T.StructType(
         [
             T.StructField("host_bucket", T.IntegerType()),

@@ -29,9 +29,23 @@ def apply_robots(pending: DataFrame, robots: DataFrame) -> DataFrame:
     Hosts without a robots row are unblocked (left join, null-safe).
     """
     r = robots.select("host", "disallow")
+    # path extraction mirrors refspec's path_of (urlsplit().path or "/"),
+    # NOT F.parse_url: java.net.URI returns NULL for URLs it can't parse
+    # (e.g. raw spaces canonicalize() preserves verbatim), which would
+    # silently unblock rows the refspec blocks. Steps: strip "scheme:",
+    # then "//authority" if present, cut at "?", empty -> "/".
+    no_scheme = F.regexp_replace(
+        F.col("url_canon"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", ""
+    )
+    no_auth = F.when(
+        no_scheme.startswith("//"),
+        F.regexp_replace(no_scheme, r"^//[^/?]*", ""),
+    ).otherwise(no_scheme)
+    path = F.substring_index(no_auth, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     return (
         pending.join(F.broadcast(r), "host", "left")
-        .withColumn("_path", F.parse_url("url_canon", F.lit("PATH")))
+        .withColumn("_path", path)
         .withColumn(
             "blocked",
             F.coalesce(
@@ -43,16 +57,51 @@ def apply_robots(pending: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
+_ORDER = lambda: [F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")]  # noqa: E731
+
+
 def rank_by_budget(
-    eligible: DataFrame, budgets: DataFrame, default_budget: int
+    eligible: DataFrame,
+    budgets: DataFrame,
+    default_budget: int,
+    salt: int = 1,
 ) -> DataFrame:
-    """Adds ``rk`` (per-host rank in crawl order) and ``budget``."""
-    w = (
-        Window.partitionBy("host")
-        .orderBy(F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash"))
-    )
-    return (
+    """Adds ``rk`` (per-host rank in crawl order, exact for every row with
+    rk <= budget) and ``budget``; the caller schedules rk <= budget.
+
+    salt > 1 runs the skew-safe TWO-PHASE top-k: a single-window
+    ``partitionBy(host)`` puts a hot host's entire pending set in one task
+    (at the 10^10-URL north star a 30%-skew host is ~3*10^9 rows in one
+    sort). Phase 1 ranks within (host, pmod(url_hash, salt)) and keeps only
+    the per-salt top-``budget``; phase 2 runs the exact window over the
+    <= salt*budget survivors per host. Exactness: a row dropped in phase 1
+    has >= budget same-host rows ahead of it (its own salt group's top
+    ``budget``, all survivors), so its true rank > budget — deferred either
+    way; and a survivor whose survivor-rank <= budget has NO dropped row
+    ahead of it (any dropped row ahead would contribute its budget-sized
+    prefix, all survivors, pushing the survivor-rank past budget), so
+    survivor-rank == true rank. rk values > budget are not meaningful ranks
+    (only the `> budget` comparison is used; rk/budget are dropped before
+    any write).
+    """
+    withb = (
         eligible.join(F.broadcast(budgets), "host", "left")
         .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
-        .withColumn("rk", F.row_number().over(w))
     )
+    if salt <= 1:
+        w = Window.partitionBy("host").orderBy(*_ORDER())
+        return withb.withColumn("rk", F.row_number().over(w).cast("long"))
+    pre = Window.partitionBy(
+        "host", F.pmod(F.col("url_hash"), F.lit(salt))
+    ).orderBy(*_ORDER())
+    pr = withb.withColumn("_r1", F.row_number().over(pre))
+    survivors = pr.where(F.col("_r1") <= F.col("budget"))
+    overflow = pr.where(F.col("_r1") > F.col("budget"))
+    w = Window.partitionBy("host").orderBy(*_ORDER())
+    exact = survivors.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).drop("_r1")
+    over = overflow.withColumn(
+        "rk", F.col("budget").cast("long") + F.col("_r1").cast("long")
+    ).drop("_r1")
+    return exact.unionByName(over)

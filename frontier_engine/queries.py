@@ -530,44 +530,49 @@ SQL_MINHASH_LSH_PAIRS = (
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard similarity on a bounded candidate set
-    (same-lang pairs among doc_id < 300)."""
-    d = _t(spark, sf_dir, "documents").where("doc_id < 300")
-    sets = d.select(
-        "doc_id", "lang", F.array_distinct(_shingles_col()).alias("ss")
-    )
-    a, b = sets.alias("a"), sets.alias("b")
+    """Exact n-gram Jaccard confirmation over the MinHash-LSH candidate
+    pairs — prefilter-then-exact-confirm, the same design the engine uses
+    for url_seen (cuckoo prefilter -> exact anti-join). NO all-pairs join:
+    the quadratic space is pruned by the banded LSH join first, so this
+    composes at corpus scale."""
+    cands = q_minhash_lsh_pairs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    sets = d.select("doc_id", F.array_distinct(_shingles_col()).alias("ss"))
     jac = F.round(
-        F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
-        / F.size(F.array_union(F.col("a.ss"), F.col("b.ss"))),
+        F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
+        / F.size(F.array_union(F.col("ssa"), F.col("ssb"))),
         4,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        cands.join(
+            sets.select(F.col("doc_id").alias("a"), F.col("ss").alias("ssa")),
+            "a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("b"), F.col("ss").alias("ssb")),
+            "b",
         )
         .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            jac.alias("jac"),
+            F.col("a").alias("da"), F.col("b").alias("db"), jac.alias("jac")
         )
         .where("jac > 0.05")
     )
 
 
 SQL_NGRAM_JACCARD_PAIRS = (
-    "WITH sh AS ("
-    + _SHINGLES_SQL.replace("FROM documents", "FROM documents WHERE doc_id < 300")
-    + "), sets AS (SELECT doc_id, lang, list_distinct(list(s)) AS ss "
-    "FROM sh GROUP BY doc_id, lang) "
-    "SELECT a.doc_id AS da, b.doc_id AS db, "
-    "ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE / "
-    "len(list_distinct(list_concat(a.ss, b.ss))), 4) AS jac "
-    "FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id "
-    "WHERE ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE / "
-    "len(list_distinct(list_concat(a.ss, b.ss))), 4) > 0.05"
+    "WITH pairs AS ("
+    + SQL_MINHASH_LSH_PAIRS
+    + "), sh AS ("
+    + _SHINGLES_SQL
+    + "), sets AS (SELECT doc_id, list_distinct(list(s)) AS ss "
+    "FROM sh GROUP BY doc_id) "
+    "SELECT p.a AS da, p.b AS db, "
+    "ROUND(len(list_intersect(sa.ss, sb.ss))::DOUBLE / "
+    "len(list_distinct(list_concat(sa.ss, sb.ss))), 4) AS jac "
+    "FROM pairs p JOIN sets sa ON sa.doc_id = p.a "
+    "JOIN sets sb ON sb.doc_id = p.b "
+    "WHERE ROUND(len(list_intersect(sa.ss, sb.ss))::DOUBLE / "
+    "len(list_distinct(list_concat(sa.ss, sb.ss))), 4) > 0.05"
 )
 
 
@@ -607,6 +612,140 @@ SQL_SIMHASH16 = (
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
     )
     + " AS BIGINT) AS simhash16 FROM bits"
+)
+
+
+def _word_half_hashes(d):
+    """(doc_id, hv_lo, hv_hi): two md5-derived 32-bit word hashes — the two
+    halves of a 64-bit SimHash kept separate so neither engine needs
+    unsigned-64 arithmetic (Spark wraps, DuckDB errors)."""
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return w.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv_lo"),
+        F.conv(F.substring(F.md5("word"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("hv_hi"),
+    )
+
+
+def q_simhash64_bands(spark, sf_dir):
+    """64-bit SimHash near-dup candidates via hamming bands — the scale
+    path (the 16-bit demo q_simhash16 is kept as the teaching version).
+    The 64 bits live as two 32-bit halves (lo/hi); each half splits into
+    two 16-bit bands; pairs sharing ANY band are candidates (guarantees
+    recall of hamming distance <= 3 by pigeonhole over 4 bands), confirmed
+    by the exact hamming distance <= 8. Banded equi-join, never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    h = _word_half_hashes(d)
+    aggs = [
+        F.sum(
+            (
+                F.shiftright(F.col("hv_lo" if j < 32 else "hv_hi"), j % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            )
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    bits = h.groupBy("doc_id").agg(*aggs)
+    half = {}
+    for name, rng in (("sim_lo", range(0, 32)), ("sim_hi", range(32, 64))):
+        acc = None
+        for j in rng:
+            term = F.when(
+                F.col(f"s{j}") > 0, F.lit(1 << (j % 32))
+            ).otherwise(F.lit(0))
+            acc = term if acc is None else acc + term
+        half[name] = acc.cast("long")
+    sim = bits.select(
+        "doc_id", half["sim_lo"].alias("sim_lo"), half["sim_hi"].alias("sim_hi")
+    )
+    bands = None
+    for b, expr in enumerate(
+        [
+            F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright("sim_lo", 16),
+            F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright("sim_hi", 16),
+        ]
+    ):
+        part = sim.select(
+            "doc_id", "sim_lo", "sim_hi",
+            F.lit(b).alias("band"), expr.cast("long").alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    x, y = bands.alias("x"), bands.alias("y")
+    ham = F.bit_count(
+        F.col("x.sim_lo").bitwiseXOR(F.col("y.sim_lo"))
+    ) + F.bit_count(F.col("x.sim_hi").bitwiseXOR(F.col("y.sim_hi")))
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where("hamming <= 8")
+        .distinct()
+    )
+
+
+_SIMHASH64_HALF_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    "('0x' || substr(md5(word), 1, 8))::BIGINT AS hv_lo, "
+    "('0x' || substr(md5(word), 9, 8))::BIGINT AS hv_hi "
+    "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    "      FROM documents)), "
+    "bits AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM((({'hv_lo' if j < 32 else 'hv_hi'} >> {j % 32}) & 1) * 2 - 1)"
+        f" AS s{j}"
+        for j in range(64)
+    )
+    + " FROM h GROUP BY doc_id), "
+    "sim AS (SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << (j % 32)} ELSE 0 END)"
+        for j in range(0, 32)
+    )
+    + " AS BIGINT) AS sim_lo, CAST("
+    + " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << (j % 32)} ELSE 0 END)"
+        for j in range(32, 64)
+    )
+    + " AS BIGINT) AS sim_hi FROM bits)"
+)
+
+SQL_SIMHASH64_BANDS = (
+    _SIMHASH64_HALF_SQL
+    + ", bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, sim_lo, sim_hi, {b} AS band, {expr} AS bkey FROM sim"
+        for b, expr in enumerate(
+            [
+                "sim_lo & 65535",
+                "sim_lo >> 16",
+                "sim_hi & 65535",
+                "sim_hi >> 16",
+            ]
+        )
+    )
+    + ") SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, "
+    "CAST(bit_count(xor(x.sim_lo, y.sim_lo)) "
+    "   + bit_count(xor(x.sim_hi, y.sim_hi)) AS BIGINT) AS hamming "
+    "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey "
+    "AND x.doc_id < y.doc_id "
+    "WHERE bit_count(xor(x.sim_lo, y.sim_lo)) "
+    "    + bit_count(xor(x.sim_hi, y.sim_hi)) <= 8"
 )
 
 
@@ -734,6 +873,60 @@ SQL_ANN_LSH_TOPK = (
 )
 
 
+def q_ann_lsh_topk_batch(spark, sf_dir):
+    """Batch ANN — what a similarity-search user actually runs: N query
+    vectors at once, each answered from ONLY its LSH bucket via a broadcast
+    equi-join on bucket (no crossJoin, no all-pairs), exact cosine + window
+    top-3 per query inside the bucket."""
+    e = _t(spark, sf_dir, "embeddings")
+    ee = _emb_double()
+    bucket = None
+    for j in range(4):
+        bit = F.when(_dot(ee, _lsh_plane(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", ee.alias("ee"), bucket.cast("int").alias("bucket"))
+    q = b.where("vec_id < 8").select(
+        F.col("vec_id").alias("qid"), F.col("ee").alias("qe"), "bucket"
+    )
+    cand = b.where("vec_id >= 8")
+    cos = F.round(
+        _dot(F.col("ee"), F.col("qe"))
+        / (
+            F.sqrt(_dot(F.col("ee"), F.col("ee")))
+            * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.join(F.broadcast(q), "bucket")
+        .select("qid", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where("rk <= 3")
+    )
+
+
+SQL_ANN_LSH_TOPK_BATCH = (
+    "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ee, CAST("
+    + " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {_lsh_plane_sql(j)})"
+        f" > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    + " AS INT) AS bucket FROM embeddings), "
+    "q AS (SELECT vec_id AS qid, ee AS qe, bucket FROM b WHERE vec_id < 8), "
+    "scored AS (SELECT q.qid, b.vec_id, "
+    "ROUND(list_inner_product(b.ee, q.qe) / "
+    "(sqrt(list_inner_product(b.ee, b.ee)) * sqrt(list_inner_product(q.qe, q.qe))), 6)"
+    " AS cos_sim "
+    "FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id >= 8) "
+    "SELECT qid, vec_id, cos_sim, rk FROM ("
+    "SELECT qid, vec_id, cos_sim, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id)"
+    " AS BIGINT) AS rk FROM scored) WHERE rk <= 3"
+)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: token counts, avg token length, stopword ratio."""
     d = _t(spark, sf_dir, "documents")
@@ -845,6 +1038,52 @@ FROM documents
 """
 
 
+def q_corpus_enrich(spark, sf_dir):
+    """The engine's corpus-enrichment stage (corpus.enrich — the SAME
+    transform scheduler.run_cycle commits as page_stats) applied to the
+    documents table where every column is DuckDB-checkable: fingerprint,
+    quality stats, token estimate, language ID, MinHash-LSH near-dup group."""
+    from .corpus import enrich
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return enrich(d, "doc_id", "text").select(
+        "doc_id", "fp", "n_words", "avg_token_len", "stop_ratio",
+        "est_bpe_tokens", "predicted_lang", "nd_group",
+    )
+
+
+SQL_CORPUS_ENRICH = (
+    "WITH sh AS ("
+    + _SHINGLES_SQL
+    + "), sig AS (SELECT doc_id, "
+    + ", ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(8))
+    + " FROM sh GROUP BY doc_id), bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(m{2*b} || m{2*b+1}) AS bkey FROM sig"
+        for b in range(4)
+    )
+    + "), groups AS (SELECT band, bkey, MIN(doc_id) AS g FROM bands "
+    "GROUP BY band, bkey), "
+    "doc_g AS (SELECT bands.doc_id, MIN(g) AS nd "
+    "FROM bands JOIN groups USING (band, bkey) GROUP BY bands.doc_id) "
+    "SELECT d.doc_id, "
+    "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp, "
+    "len(string_split(text, ' ')) AS n_words, "
+    "ROUND(length(text)::DOUBLE / len(string_split(text, ' ')), 4) "
+    "  AS avg_token_len, "
+    "ROUND(len(list_filter(string_split(text, ' '), w -> w IN ('the','a')))"
+    "::DOUBLE / len(string_split(text, ' ')), 4) AS stop_ratio, "
+    "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens, "
+    "CASE WHEN len(list_filter(string_split(text,' '), "
+    "w -> w IN ('the','a'))) * 10 >= len(string_split(text,' ')) THEN 'en' "
+    "WHEN len(list_filter(string_split(text,' '), "
+    "w -> w IN ('spark','query','data'))) * 10 >= len(string_split(text,' '))"
+    " THEN 'tech' ELSE 'other' END AS predicted_lang, "
+    "COALESCE(nd, d.doc_id) AS nd_group "
+    "FROM documents d LEFT JOIN doc_g ON doc_g.doc_id = d.doc_id"
+)
+
+
 def q_crawl_schedule_c1(spark, sf_dir):
     """The flagship: cycle-1 scheduled batch of the full crawl pipeline on
     the deterministic n=2000 fixture (exact oracle = refspec, in pytest)."""
@@ -854,7 +1093,25 @@ def q_crawl_schedule_c1(spark, sf_dir):
 
     fix_dir = ensure_fixtures(os.path.join(REPO, ".fixtures"), 2000)
     cfg = config_for_fixture(FixtureConfig(n_urls=2000))
-    work = os.path.join(REPO, ".engine_runs", "entry_n2000")
+    # key the cached run by the engine-source hash so a code change can
+    # never serve a stale snapshot to the driver's smoke/oracle check
+    import hashlib as _hashlib
+    import shutil as _shutil
+
+    eng_dir = os.path.dirname(os.path.abspath(__file__))
+    h = _hashlib.sha256()
+    for fn in sorted(os.listdir(eng_dir)):
+        if fn.endswith(".py"):
+            with open(os.path.join(eng_dir, fn), "rb") as fh:
+                h.update(fn.encode())
+                h.update(fh.read())
+    tag = f"entry_n2000_{h.hexdigest()[:10]}"
+    runs_root = os.path.join(REPO, ".engine_runs")
+    if os.path.isdir(runs_root):  # drop stale runs from older code versions
+        for d in os.listdir(runs_root):
+            if d.startswith("entry_n2000") and d != tag:
+                _shutil.rmtree(os.path.join(runs_root, d), ignore_errors=True)
+    work = os.path.join(runs_root, tag)
     eng = build_engine(spark, fix_dir, work, cfg)
     if eng.io.latest_cycle() < 1:
         eng.run_cycle(1)
@@ -900,9 +1157,12 @@ REGISTRY: dict = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "simhash16": (q_simhash16, SQL_SIMHASH16),
+    "simhash64_bands": (q_simhash64_bands, SQL_SIMHASH64_BANDS),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_lsh_topk_batch": (q_ann_lsh_topk_batch, SQL_ANN_LSH_TOPK_BATCH),
+    "corpus_enrich": (q_corpus_enrich, SQL_CORPUS_ENRICH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),

@@ -126,10 +126,42 @@ def register_pages_table(spark: SparkSession, loc: str, n_buckets: int) -> str:
     return name
 
 
-def _metric(df: DataFrame, name: str) -> DataFrame:
-    return df.groupBy("host_bucket").agg(
-        F.count(F.lit(1)).alias("n")
-    ).select("host_bucket", F.lit(name).alias("metric"), "n")
+def _lineage_wide(
+    cand: DataFrame,
+    ingested: DataFrame,
+    with_robots: DataFrame,
+    ranked: DataFrame,
+    fetched: DataFrame,
+    cycle: int,
+) -> DataFrame:
+    """Per-bucket lineage in ONE aggregation per source frame (5 scans), each
+    producing several metrics via conditional sums — replaces the earlier
+    7-scan long-format union + pivot. The frames are the persisted pipeline
+    stages, so computing lineage doubles as the cache-warming materialization
+    pass for the commit writes."""
+    one = F.count(F.lit(1))
+    m_cand = cand.groupBy("host_bucket").agg(one.alias("cand_total"))
+    m_disc = ingested.groupBy("host_bucket").agg(one.alias("discovered"))
+    m_scan = with_robots.groupBy("host_bucket").agg(
+        one.alias("rows_scanned"),
+        F.sum(F.col("blocked").cast("long")).alias("robots_skipped"),
+    )
+    m_enq = ranked.groupBy("host_bucket").agg(
+        F.sum((F.col("rk") <= F.col("budget")).cast("long")).alias("enqueued")
+    )
+    m_fetch = fetched.groupBy("host_bucket").agg(
+        F.sum((~F.col("ok")).cast("long")).alias("errors"),
+        F.sum(F.col("ok").cast("long")).alias("fetched_ok"),
+    )
+    wide = m_scan
+    for m in (m_cand, m_disc, m_enq, m_fetch):
+        wide = wide.join(m, "host_bucket", "full_outer")
+    return (
+        wide.na.fill(0, [c for c in wide.columns if c != "host_bucket"])
+        .withColumn("cycle", F.lit(cycle))
+        .withColumn("deduped", F.col("cand_total") - F.col("discovered"))
+        .select(*schemas.LINEAGE.fieldNames())
+    )
 
 
 @dataclass
@@ -230,7 +262,6 @@ class FrontierScheduler:
         )
         cand.persist()
         tick("ingest: candidates", cand)
-        cand_total = _metric(cand, "cand_total")
 
         # within-batch dedup: keep max priority per key (all other columns
         # are functionally determined by the key within one batch)
@@ -276,17 +307,16 @@ class FrontierScheduler:
         pending_all.persist()
         tick("dedup+union pending", pending_all)
 
-        discovered = _metric(ingested, "discovered")
-        scanned = _metric(pending_all, "rows_scanned")
-
         # ---- 2. robots (SkipContainer analog) -----------------------------
         with_robots = apply_robots(pending_all, self.robots)
         skipped = with_robots.where("blocked")
         eligible = with_robots.where("NOT blocked").drop("blocked")
-        robots_skipped = _metric(skipped, "robots_skipped")
 
         # ---- 3. politeness budget: per-host window rank --------------------
-        ranked = rank_by_budget(eligible, self.budgets, cfg.default_budget)
+        ranked = rank_by_budget(
+            eligible, self.budgets, cfg.default_budget,
+            salt=cfg.politeness_salt,
+        )
         ranked.persist()
         tick("robots+budget window", ranked)
         scheduled = ranked.where(F.col("rk") <= F.col("budget")).drop(
@@ -295,7 +325,6 @@ class FrontierScheduler:
         deferred = ranked.where(F.col("rk") > F.col("budget")).drop(
             "rk", "budget"
         )
-        enqueued = _metric(scheduled, "enqueued")
 
         # ---- 4. fetch: co-partitioned join against pages, extract, links ---
         # join on the 64-bit key alone so the bucketed pages scan lines up
@@ -318,16 +347,17 @@ class FrontierScheduler:
                 & (F.col("_h.extracted") == F.col("text")),
             )
             .withColumn("links", F.col("_h.links"))
-            # drop page bodies IMMEDIATELY — nothing downstream shuffles html
-            .drop("html", "text", "page_canon", "_h")
         )
+        if cfg.enrich_pages:
+            # keep the extracted text ONLY for the enrichment stage below
+            fetched = fetched.withColumn("_text", F.col("_h.extracted"))
+        # drop page bodies IMMEDIATELY — nothing downstream shuffles html
+        fetched = fetched.drop("html", "text", "page_canon", "_h")
         fetched.persist()
         tick("fetch+extract", fetched)
 
         done = fetched.where("ok")
         miss = fetched.where("NOT ok")
-        errors = _metric(miss, "errors")
-        fetched_ok = _metric(done, "fetched_ok")
 
         retriable = (
             miss.where(F.col("retries") < cfg.retry_limit)
@@ -406,24 +436,8 @@ class FrontierScheduler:
             )
         )
 
-        lineage_long = (
-            cand_total.unionByName(discovered)
-            .unionByName(scanned)
-            .unionByName(robots_skipped)
-            .unionByName(enqueued)
-            .unionByName(errors)
-            .unionByName(fetched_ok)
-        )
-        lineage = (
-            lineage_long.groupBy("host_bucket")
-            .pivot("metric", LINEAGE_METRICS)
-            .sum("n")
-            .na.fill(0, LINEAGE_METRICS)
-            .withColumn("cycle", F.lit(cycle))
-            .withColumn(
-                "deduped", F.col("cand_total") - F.col("discovered")
-            )
-            .select(*schemas.LINEAGE.fieldNames())
+        lineage = _lineage_wide(
+            cand, ingested, with_robots, ranked, fetched, cycle
         )
 
         # co-locate rows with their partition dir before the partitioned
@@ -444,6 +458,27 @@ class FrontierScheduler:
             "resolved": (resolved.coalesce(8), None),
         }
 
+        if cfg.enrich_pages:
+            # training-data stage over this cycle's fetched corpus: the SAME
+            # transform the driver's corpus_enrich query oracle-checks
+            # (corpus.enrich), committed with everything else. Pure built-ins
+            # + one banded LSH agg — no Python, no all-pairs join.
+            from .corpus import enrich
+
+            pstats = (
+                enrich(
+                    done.select("url_hash", "host_bucket", "_text"),
+                    "url_hash",
+                    "_text",
+                )
+                .drop("_text")
+                .select(*schemas.PAGE_STATS.fieldNames())
+            )
+            tables["page_stats"] = (
+                pstats.repartition(cfg.n_buckets, "host_bucket"),
+                ["host_bucket"],
+            )
+
         meta = {}
         compact = cfg.compact_every > 0 and cycle % cfg.compact_every == 0
         if compact:
@@ -453,12 +488,12 @@ class FrontierScheduler:
             tables["url_seen_base"] = (full_seen, ["host_bucket"])
 
         tick("plan outputs")
-        # materialize the persisted pipeline ONCE before the concurrent
-        # commit writes — otherwise the parallel write jobs race on the
-        # still-cold caches and each recomputes the full upstream plan
-        fetched.count()
-        tick("materialize caches")
-        manifest = io.commit(cycle, tables, meta=meta)
+        # the lineage write goes FIRST, sequentially: its plan traverses every
+        # persisted frame (cand, ingested, pending_all, ranked, fetched), so
+        # writing it materializes all caches exactly once — the concurrent
+        # writes that follow read warm caches instead of racing to recompute
+        # the pipeline (persist() does not dedupe concurrent materialization)
+        manifest = io.commit(cycle, tables, meta=meta, warm=("lineage",))
         tick("commit writes")
 
         if cfg.use_seen_filter and build_filters:

@@ -39,6 +39,20 @@ SCHEDULED = T.StructType(
     ]
 )
 
+PAGE_STATS = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host_bucket", T.IntegerType()),
+        T.StructField("fp", T.StringType()),
+        T.StructField("n_words", T.LongType()),
+        T.StructField("avg_token_len", T.DoubleType()),
+        T.StructField("stop_ratio", T.DoubleType()),
+        T.StructField("est_bpe_tokens", T.LongType()),
+        T.StructField("predicted_lang", T.StringType()),
+        T.StructField("nd_group", T.LongType()),
+    ]
+)
+
 LINEAGE = T.StructType(
     [
         T.StructField("cycle", T.IntegerType()),

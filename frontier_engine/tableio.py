@@ -81,11 +81,17 @@ class TableIO:
         tables: dict,
         url_seen_base: bool = False,
         meta: dict | None = None,
+        warm: tuple = (),
     ) -> dict:
         """Write every table of the cycle CONCURRENTLY (Spark schedules
         independent jobs from separate threads), then atomically publish the
         manifest — the all-or-nothing checkpoint barrier.
-        ``tables``: name -> (df, partition_by or None)."""
+        ``tables``: name -> (df, partition_by or None).
+        ``warm``: table names written SEQUENTIALLY first — a write whose plan
+        traverses every persisted upstream frame materializes the caches once,
+        so the concurrent writes that follow read warm caches instead of
+        racing to recompute the full pipeline (persist() does not dedupe
+        concurrent materialization)."""
         from concurrent.futures import ThreadPoolExecutor
 
         entry: dict = {"cycle": cycle, "parent": cycle - 1, "tables": {}}
@@ -96,9 +102,15 @@ class TableIO:
             self._write_df(df, rel, part)
             return name, rel
 
-        with ThreadPoolExecutor(max_workers=len(tables)) as ex:
-            for name, rel in ex.map(write_one, tables.items()):
-                entry["tables"][name] = rel
+        for name in warm:
+            if name in tables:
+                n, rel = write_one((name, tables[name]))
+                entry["tables"][n] = rel
+        rest = {n: v for n, v in tables.items() if n not in entry["tables"]}
+        if rest:
+            with ThreadPoolExecutor(max_workers=len(rest)) as ex:
+                for name, rel in ex.map(write_one, rest.items()):
+                    entry["tables"][name] = rel
         if url_seen_base:
             entry["url_seen_base"] = True
         entry["committed_ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

@@ -82,3 +82,59 @@ def test_xxh64_total_and_stable(data, seed):
     h = xxh64(data, seed)
     assert 0 <= h < 2**64
     assert xxh64(data, seed) == h
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(urls(), min_size=1, max_size=30))
+def test_canon_host_frame_matches_spec(batch):
+    """The vectorized batch canonicalizer (canon_host_frame's C-speed fast
+    path + spec fallback) must be byte-identical to the pure spec function
+    on every row."""
+    import pandas as pd
+
+    from frontier_engine.canon import canon_host_frame, host_of
+
+    raw = [u for u, _params in batch]
+    got = canon_host_frame(pd.Series(raw, dtype=object))
+    for u, c, h in zip(raw, got["url_canon"], got["host"]):
+        assert c == canonicalize(u), u
+        assert h == host_of(c), u
+
+
+def test_canon_host_frame_adversarial():
+    """Hand-picked shapes around every fast-path boundary condition."""
+    import pandas as pd
+
+    from frontier_engine.canon import canon_host_frame, host_of
+
+    cases = [
+        None,
+        "https://h.com/p/1?a=1&b=2",        # already canonical (fast)
+        "https://h.com/p/1?b=2&a=1",        # 2 params unsorted (fast repair)
+        "HTTPS://H.com/p/1?b=2&a=1#frag",   # case + fragment (fast repair)
+        "https://h.com/p?a=1&b=2&c=3",      # 3 params (slow)
+        "https://h.com/p?a=1&",             # empty param (slow)
+        "https://h.com/p?",                 # bare ? (slow)
+        "https://h.com/p?x",                # 1 param (fast)
+        "https://h.com",                    # empty path (slow)
+        "https://h.com:443/p",              # default port (slow)
+        "https://h.com:8080/p",             # explicit port (slow)
+        "https://u:pw@h.com/p",             # userinfo (slow)
+        "https://h.com/a/./b/../c",         # dot segments (slow)
+        "https://h.com/.well-known/x",      # dotfile path (conservative slow)
+        "https://h.com/p/%41%7e?x=%2F",     # %-escapes (slow)
+        "https://h.com/a b/c",              # raw space (slow)
+        "ftp://h.com/p",                    # non-http scheme (slow)
+        "https://h.com//double/slash",
+        "https://h.com/p?b=2&b=2",          # equal params
+        "https://h.com/p?日本=語&a=1",       # unicode params
+        "https://h.com/p#",                 # empty fragment
+        " https://h.com/p",                 # leading space (slow, strip)
+    ]
+    got = canon_host_frame(pd.Series(cases, dtype=object))
+    for u, c, h in zip(cases, got["url_canon"], got["host"]):
+        if u is None:
+            assert c is None or pd.isna(c)
+            continue
+        assert c == canonicalize(u), (u, c, canonicalize(u))
+        assert h == host_of(c), u

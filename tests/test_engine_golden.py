@@ -85,6 +85,114 @@ def test_resume_identical_continuation(
     assert diff_traces(st, full) == []
 
 
+def test_resume_rebuilds_filters_over_gap(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """Regression (round-2 ADVICE): a run's FINAL cycle skips the filter
+    build, so after a resume the newest sidecar lags by ≥1 cycle. The next
+    rebuild must insert every delta since the previous filter-bearing cycle
+    — not just the current cycle's — or previously-seen URLs are
+    misclassified as definitely-new (duplicate url_seen rows, re-crawls).
+    run(3)+resume run(2) must equal an uninterrupted run(5) exactly."""
+    fix = FixtureConfig(n_urls=2000)
+    cfg = config_for_fixture(fix)
+
+    work_a = str(tmp_path_factory.mktemp("engine-5straight"))
+    eng_a = build_engine(spark, tiny_fixture_dir, work_a, cfg)
+    eng_a.run(cycles=5)
+    st_a = spark_trace(spark, eng_a.io, range(1, 6))
+
+    work_b = str(tmp_path_factory.mktemp("engine-3plus2"))
+    eng_b = build_engine(spark, tiny_fixture_dir, work_b, cfg)
+    eng_b.run(cycles=3)  # final cycle commits with build_filters=False
+    eng_b2 = build_engine(spark, tiny_fixture_dir, work_b, cfg)
+    eng_b2.run(cycles=2)  # cycle-4 rebuild must cover the cycle-3 delta
+    st_b = spark_trace(spark, eng_b2.io, range(1, 6))
+
+    assert diff_traces(st_a, st_b) == [], "\n".join(diff_traces(st_a, st_b))
+
+    # url_seen must hold each hash exactly once (no duplicate admissions)
+    from frontier_engine import schemas as _s
+
+    seen = eng_b2.io.read_appended(spark, "url_seen", 5, _s.URL_SEEN)
+    assert seen.count() == seen.select("url_hash").distinct().count()
+
+
+def test_page_stats_enrichment_golden(spark, tiny_fixture_dir, tmp_path_factory):
+    """cfg.enrich_pages commits a page_stats table per cycle (the
+    training-data stage over the engine's own fetched corpus). Every column
+    — fingerprint, quality stats, token estimate, lang ID, MinHash-LSH
+    near-dup group — must equal an independent pure-Python recomputation."""
+    import dataclasses
+    import hashlib
+    import math
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from frontier_engine import schemas
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(config_for_fixture(fix), enrich_pages=True)
+    work = str(tmp_path_factory.mktemp("engine-enrich"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=1)
+
+    stats = eng.io.read_cycle(
+        spark, "page_stats", 1, schemas.PAGE_STATS
+    ).collect()
+    assert len(stats) > 30  # cycle 1 = the ~50-seed wave minus misses
+    texts = {
+        r["url_hash"]: r["text"]
+        for r in eng._pages_canon().select("url_hash", "text").collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    def rnd4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    # minhash band buckets over the enriched SET (group ids depend on it)
+    member_ids = sorted(r["url_hash"] for r in stats)
+    doc_bands: dict = {}
+    buckets: dict = {}
+    for uid in member_ids:
+        words = texts[uid].split(" ")
+        shingles = {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+        if not shingles:
+            continue
+        sig = [min(md5(f"{i}|{s}") for s in shingles) for i in range(8)]
+        keys = [(b, md5(sig[2 * b] + sig[2 * b + 1])) for b in range(4)]
+        doc_bands[uid] = keys
+        for k in keys:
+            buckets.setdefault(k, []).append(uid)
+
+    for r in stats:
+        uid = r["url_hash"]
+        text = texts[uid]
+        words = text.split(" ")
+        n_words = len(words)
+        n_stop = sum(1 for w in words if w in ("the", "a"))
+        n_tech = sum(1 for w in words if w in ("spark", "query", "data"))
+        assert r["fp"] == md5(_re.sub("[^a-z0-9]", "", text.lower()))
+        assert r["n_words"] == n_words
+        assert r["avg_token_len"] == rnd4(len(text) / n_words)
+        assert r["stop_ratio"] == rnd4(n_stop / n_words)
+        assert r["est_bpe_tokens"] == math.ceil(len(text) / 4)
+        want_lang = (
+            "en" if n_stop * 10 >= n_words
+            else ("tech" if n_tech * 10 >= n_words else "other")
+        )
+        assert r["predicted_lang"] == want_lang
+        if uid in doc_bands:
+            want_nd = min(min(buckets[k]) for k in doc_bands[uid])
+        else:
+            want_nd = uid
+        assert r["nd_group"] == want_nd, uid
+
+
 def test_extraction_byte_identity(spark, tiny_fixture_dir, golden):
     """BASELINE.json:15 per-row invariant: UDF-extracted text equals the
     stored text column byte-for-byte for EVERY url."""

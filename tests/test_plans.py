@@ -45,6 +45,41 @@ def test_broadcast_join_for_dims(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_prefilter_adds_no_exchange(spark, tiny_fixture_dir,
+                                    tmp_path_factory):
+    """split_by_filter must test candidates in place (mapInPandas), not
+    re-shuffle them into bucket groups: between the within-batch dedup agg
+    and the exact anti-join there must be NO new Exchange on the prefiltered
+    path beyond what the agg itself requires."""
+    from frontier_engine.config import config_for_fixture
+    from frontier_engine.fixtures import FixtureConfig
+    from frontier_engine.golden import build_engine
+    from frontier_engine.membership import split_by_filter
+
+    cfg = config_for_fixture(FixtureConfig(n_urls=2000))
+    work = str(tmp_path_factory.mktemp("engine-plan3"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=2)  # cycle-1 sidecars exist (cycle 2 skips the build)
+
+    from frontier_engine import schemas
+
+    cand = (
+        eng.io.read_cycle(spark, "pending", 2, schemas.PENDING)
+        .groupBy("url_hash")
+        .agg(
+            F.min("url_canon").alias("url_canon"),
+            F.min("host").alias("host"),
+            F.min("host_bucket").alias("host_bucket"),
+        )
+    )
+    base_exchanges = _plan(cand).count("Exchange hashpartitioning")
+    definite_new, maybe_seen = split_by_filter(cand, eng.io, 1, cfg)
+    for df in (definite_new, maybe_seen):
+        plan = _plan(df)
+        assert "MapInPandas" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == base_exchanges, plan
+
+
 def test_fetch_join_does_not_shuffle_pages(spark, tiny_fixture_dir,
                                            tmp_path_factory):
     """The fetch join must not put an Exchange above the pages scan — either

@@ -41,3 +41,60 @@ def test_skewed_host_with_salting(spark, tmp_path_factory):
         if "host_bucket=" in dirpath and n:
             per_bucket_files[dirpath] = n
     assert max(per_bucket_files.values()) > 1
+
+
+def test_two_phase_window_bounds_task_rows(spark):
+    """The exact politeness window must never see more than salt*budget rows
+    of one host — phase 1 of rank_by_budget prunes the hot host's frontier
+    before the host-partitioned window (the round-1 skew scale-killer) —
+    and the scheduled set must be IDENTICAL to the single-window result."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.fixtures import T0
+    from frontier_engine.politeness import budgets_df, rank_by_budget
+    from frontier_engine.xxh import xxhash64_str
+
+    cfg = EngineConfig()
+    salt, budget = cfg.politeness_salt, cfg.default_budget
+    assert salt > 1  # the default posture is skew-safe
+
+    # synthetic skewed frontier: 30% of 2000 URLs on one hot host
+    fix = FixtureConfig(n_urls=2000, skew=True)
+    rows = []
+    for i in range(2000):
+        u = fix.canon_url(i)
+        h = xxhash64_str(u)
+        rows.append(
+            (u, h - (1 << 64) if h >= (1 << 63) else h, fix.host(i),
+             100 - (i % 17), T0)
+        )
+    df = spark.createDataFrame(
+        rows, "url_canon string, url_hash long, host string, "
+        "priority int, crawl_ts timestamp"
+    )
+    hot = df.groupBy("host").count().agg(F.max("count")).collect()[0][0]
+    assert hot > salt * budget  # the hot host actually needs pruning
+
+    budgets = budgets_df(spark, {})
+    # phase-1 survivor bound == the exact window's max per-host input
+    pre = Window.partitionBy(
+        "host", F.pmod(F.col("url_hash"), F.lit(salt))
+    ).orderBy(F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash"))
+    surv = (
+        df.withColumn("_r1", F.row_number().over(pre))
+        .where(F.col("_r1") <= budget)
+        .groupBy("host").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert surv <= salt * budget < hot
+
+    def sched(ranked):
+        return sorted(
+            (r["host"], r["url_hash"], r["rk"])
+            for r in ranked.where(F.col("rk") <= F.col("budget")).collect()
+        )
+
+    one = sched(rank_by_budget(df, budgets, budget, salt=1))
+    two = sched(rank_by_budget(df, budgets, budget, salt=salt))
+    assert one == two and len(one) > 0
