@@ -205,8 +205,8 @@ def write_md(result: dict) -> None:
         "  runs with >4 threads show heavy hypervisor-steal variance (same",
         "  job, same input: 115s vs 341s). The N->4N evidence therefore",
         "  uses N=1 -> 4N=4, the largest quadrupling inside the machine's",
-        "  reliably linear region; 2->8 and per-level throughputs are also",
-        "  reported for transparency.",
+        "  reliably linear region; per-level throughputs and every run's",
+        "  wall-clock are reported for transparency.",
         "",
         "## Headline (whole-corpus seed wave + dedup-heavy follow-up cycles)",
         "",

@@ -353,33 +353,63 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> int:
             T.StructField("status", T.StringType()),
         ]
     )
+    from pyspark.sql import functions as F
 
-    def upsert(pdf):
+    # Both build stages run as mapInPandas ITERATORS over data repartitioned
+    # by host_bucket: a task streams its buckets' rows batch by batch and
+    # holds only the filters under construction — never a whole bucket's
+    # url_seen in one pandas frame (at 10^10/64 URLs that frame alone is
+    # GBs; the bloom being built is ~12 bits/item). Fresh-filter capacities
+    # come from a tiny driver-side count per bucket. Sidecars stay
+    # one-file-per-bucket; if a single bucket's bloom ever outgrows executor
+    # memory the seam is (host_bucket, url_hash>>k) sub-shards of the same
+    # .npz layout.
+    cap = {
+        int(r["host_bucket"]): int(r["n"])
+        for r in delta.groupBy("host_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def upsert_batches(batches):
         import os as _os
         import pandas as _pd
         import numpy as _np
 
-        b = int(pdf["host_bucket"].iloc[0])
-        h = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
-        f = None
-        if prev_dir is not None:
-            p = _sidecar(prev_dir, b)
-            if _os.path.exists(p):
-                f = load_filter(p)
-        if f is None:
-            if len(h) <= _CUCKOO_MAX_ITEMS:
-                f = CuckooFilter.with_capacity(max(len(h) * 4, 1024))
-            else:
-                f = BloomFilter.with_capacity(len(h))
-        if f.insert_many(h):
-            f.save(_sidecar(out_dir, b))
-            return _pd.DataFrame({"host_bucket": [b], "status": ["ok"]})
-        return _pd.DataFrame({"host_bucket": [b], "status": ["overflow"]})
+        state: dict = {}  # bucket -> [filter, ok]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h_all = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
+            for b, idx in pdf.groupby("host_bucket").indices.items():
+                b = int(b)
+                st = state.get(b)
+                if st is None:
+                    f = None
+                    if prev_dir is not None:
+                        p = _sidecar(prev_dir, b)
+                        if _os.path.exists(p):
+                            f = load_filter(p)
+                    if f is None:
+                        n = cap.get(b, len(idx))
+                        if n <= _CUCKOO_MAX_ITEMS:
+                            f = CuckooFilter.with_capacity(max(n * 4, 1024))
+                        else:
+                            f = BloomFilter.with_capacity(n)
+                    st = state[b] = [f, True]
+                if st[1]:
+                    st[1] = st[0].insert_many(h_all[idx])
+        rows = []
+        for b, (f, ok) in state.items():
+            if ok:
+                f.save(_sidecar(out_dir, b))
+            rows.append({"host_bucket": b, "status": "ok" if ok else "overflow"})
+        yield _pd.DataFrame(rows, columns=["host_bucket", "status"])
 
     results = (
         delta.select("host_bucket", "url_hash")
-        .groupBy("host_bucket")
-        .applyInPandas(upsert, res_schema)
+        .repartition(cfg.n_buckets, "host_bucket")
+        .mapInPandas(upsert_batches, res_schema)
         .collect()
     )
     overflow = [r["host_bucket"] for r in results if r["status"] == "overflow"]
@@ -387,21 +417,42 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> int:
     if overflow:
         full = io.read_appended(spark, "url_seen", cycle, schemas.URL_SEEN)
         full = full.where(full.host_bucket.isin(overflow))
+        full_cap = {
+            int(r["host_bucket"]): int(r["n"])
+            for r in full.groupBy("host_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
-        def rebuild(pdf):
+        def rebuild_batches(batches):
             import pandas as _pd
             import numpy as _np
 
-            b = int(pdf["host_bucket"].iloc[0])
-            h = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
-            f = BloomFilter.with_capacity(len(h))
-            f.insert_many(h)
-            f.save(_sidecar(out_dir, b))
-            return _pd.DataFrame({"host_bucket": [b], "status": ["bloom"]})
+            blooms: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                h_all = (
+                    pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
+                )
+                for b, idx in pdf.groupby("host_bucket").indices.items():
+                    b = int(b)
+                    f = blooms.get(b)
+                    if f is None:
+                        f = blooms[b] = BloomFilter.with_capacity(full_cap[b])
+                    f.insert_many(h_all[idx])
+            rows = []
+            for b, f in blooms.items():
+                f.save(_sidecar(out_dir, b))
+                rows.append({"host_bucket": b, "status": "bloom"})
+            yield _pd.DataFrame(rows, columns=["host_bucket", "status"])
 
-        full.select("host_bucket", "url_hash").groupBy("host_bucket").applyInPandas(
-            rebuild, res_schema
-        ).collect()
+        (
+            full.select("host_bucket", "url_hash")
+            .repartition(cfg.n_buckets, "host_bucket")
+            .mapInPandas(rebuild_batches, res_schema)
+            .collect()
+        )
 
     # carry forward untouched buckets
     if prev_dir is not None and os.path.isdir(prev_dir):

@@ -486,6 +486,13 @@ class FrontierScheduler:
                 spark, "url_seen", cycle - 1, schemas.URL_SEEN
             ).unionByName(url_seen_delta)
             tables["url_seen_base"] = (full_seen, ["host_bucket"])
+            # R16 analog (status pruning): consolidate resolved history the
+            # same way, so the append-table read path never unions an
+            # unbounded number of per-cycle delta dirs at 10^10-URL scale
+            full_resolved = io.read_appended(
+                spark, "resolved", cycle - 1, schemas.RESOLVED
+            ).unionByName(resolved)
+            tables["resolved_base"] = (full_resolved.coalesce(8), None)
 
         tick("plan outputs")
         # the lineage write goes FIRST, sequentially: its plan traverses every

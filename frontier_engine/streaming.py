@@ -58,6 +58,79 @@ def run_streaming_cycles(
     return results
 
 
+def sessionize_hosts(stream_df, gap_seconds: int = 3600):
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    gap-based per-host discovery sessions over a streaming frontier feed.
+
+    A session is a maximal run of a host's discoveries with inter-arrival
+    gaps <= ``gap_seconds``; closed sessions are emitted as
+    (host, session_start, session_end, n_urls), the still-open trailing
+    session is carried in GroupState across micro-batches (so sessions
+    spanning batch boundaries merge — the part ``foreachBatch`` can't do).
+    This is the engine's analog of per-container activity bursts in the
+    reference's periodic sweeps (Crawler.run_always ≈L405), and the
+    "applyInPandasWithState for custom stateful operators" surface the
+    north-star brief names.
+
+    Input columns: host STRING, discovered_ts TIMESTAMP.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = (
+        "host string, session_start timestamp, session_end timestamp, "
+        "n_urls long"
+    )
+    state_schema = "start long, last long, n long"  # epoch micros
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        host = key[0]
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(
+                (pdf["discovered_ts"].astype("datetime64[us]").astype("int64"))
+                .tolist()
+            )
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = None
+            last = n = 0
+        closed = []
+        for t in ts:
+            if start is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_us:
+                closed.append((start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        if start is not None:
+            state.update((start, last, n))
+        yield pd.DataFrame(
+            {
+                "host": [host] * len(closed),
+                "session_start": pd.to_datetime(
+                    [c[0] for c in closed], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [c[1] for c in closed], unit="us"
+                ),
+                "n_urls": [c[2] for c in closed],
+            }
+        )
+
+    return stream_df.groupBy("host").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_event_counts(events_stream, watermark: str = "1 hour",
                           window: str = "1 hour"):
     """Late-data-tolerant tumbling-window aggregation over a streaming

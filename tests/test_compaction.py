@@ -36,6 +36,20 @@ def test_compacted_seen_matches_refspec(spark, tiny_fixture_dir, tmp_path_factor
         r["url_hash"] for r in raw.collect()
     )
 
+    # resolved history is consolidated too (R16 status pruning analog)
+    assert "resolved_base" in m4["tables"]
+    res_read = eng.io.read_appended(spark, "resolved", 4, schemas.RESOLVED)
+    res_raw = eng.io.read_cycle(spark, "resolved", 1, schemas.RESOLVED)
+    for c in range(2, 5):
+        res_raw = res_raw.unionByName(
+            eng.io.read_cycle(spark, "resolved", c, schemas.RESOLVED)
+        )
+    assert sorted(
+        (r["cycle"], r["url_hash"], r["state"]) for r in res_read.collect()
+    ) == sorted(
+        (r["cycle"], r["url_hash"], r["state"]) for r in res_raw.collect()
+    )
+
     st = spark_trace(spark, eng.io, range(1, 5))
     pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
     rt = ref_trace(run(pages, seeds, robots, cfg, cycles=4))

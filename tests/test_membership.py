@@ -64,3 +64,41 @@ def test_filters_deterministic():
     t1.insert_many(items)
     t2.insert_many(items)
     assert (t1.table == t2.table).all()
+
+
+def test_forced_overflow_rebuilds_bloom(spark, tmp_path):
+    """End-to-end rebuild path under a skewed bucket: a cuckoo sidecar sized
+    for a small cycle-1 delta must overflow on a huge cycle-2 delta and be
+    rebuilt as a bloom over the bucket's FULL url_seen — with zero false
+    negatives across both cycles (the exactness invariant), and with the
+    streamed mapInPandas build (bounded per-task memory)."""
+    from frontier_engine import membership, schemas
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    cfg = EngineConfig(n_buckets=4)
+
+    def seen_df(hashes, bucket, cycle):
+        return spark.createDataFrame(
+            [(int(h), bucket, cycle) for h in hashes], schemas.URL_SEEN
+        )
+
+    io.commit(1, {"url_seen": (seen_df(range(1000, 1100), 1, 1), ["host_bucket"])})
+    n = membership.rebuild_filters(spark, io, 1, cfg)
+    io.commit_meta_update(1, {"filters": n})
+    f1 = membership.load_filter(membership._sidecar(io.filter_dir(1), 1))
+    assert f1.kind == "cuckoo"  # small delta -> cuckoo
+
+    io.commit(
+        2, {"url_seen": (seen_df(range(50_000, 70_000), 1, 2), ["host_bucket"])}
+    )
+    n2 = membership.rebuild_filters(spark, io, 2, cfg)
+    io.commit_meta_update(2, {"filters": n2})
+    f2 = membership.load_filter(membership._sidecar(io.filter_dir(2), 1))
+    assert f2.kind == "bloom"  # overflowed cuckoo -> full bloom rebuild
+
+    h = np.array(
+        list(range(1000, 1100)) + list(range(50_000, 70_000)), dtype=np.uint64
+    )
+    assert f2.contains_many(h).all()  # no false negatives, ever

@@ -47,3 +47,79 @@ def test_windowed_watermark_agg(spark, tmp_path_factory):
     got = spark.sql("select * from winagg").count()
     assert got >= 0
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_host_sessions(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: closed sessions emitted across
+    micro-batch boundaries must equal a pure-Python sessionization of the
+    full feed (open trailing sessions stay in state)."""
+    import os
+    from datetime import datetime, timedelta
+
+    from frontier_engine.streaming import sessionize_hosts
+
+    src = str(tmp_path_factory.mktemp("frontier-feed"))
+    ckpt = str(tmp_path_factory.mktemp("sessions-ckpt"))
+    t0 = datetime(2024, 1, 1)
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1); host 'a' has a
+    # session SPANNING the batch boundary (gap 10min < 1h), then a >1h gap
+    rows1 = [
+        ("a", t0), ("a", t0 + timedelta(minutes=5)),
+        ("b", t0), ("b", t0 + timedelta(hours=3)),
+    ]
+    rows2 = [
+        ("a", t0 + timedelta(minutes=15)),            # merges into a's open session
+        ("a", t0 + timedelta(hours=5)),               # closes it (gap > 1h)
+        ("b", t0 + timedelta(hours=3, minutes=30)),   # continues b's 2nd session
+        ("c", t0 + timedelta(hours=1)),
+        ("c", t0 + timedelta(hours=4)),               # closes c's 1st session
+    ]
+    schema = "host string, discovered_ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        os.path.join(src, "f2")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        sessionize_hosts(stream, gap_seconds=3600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("host_sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["host"], r["session_start"], r["session_end"], r["n_urls"])
+        for r in spark.sql("select * from host_sessions").collect()
+    )
+
+    # pure-Python twin over the union, dropping open trailing sessions
+    feed: dict = {}
+    for h, ts in rows1 + rows2:
+        feed.setdefault(h, []).append(ts)
+    want = []
+    for h, tss in feed.items():
+        tss.sort()
+        start = last = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if (t - last).total_seconds() > 3600:
+                want.append((h, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        # trailing session stays open (in state), not emitted
+    assert got == sorted(want), (got, sorted(want))
+    assert len(got) >= 3  # a, b and c each closed at least one session
