@@ -927,6 +927,133 @@ SQL_ANN_LSH_TOPK_BATCH = (
 )
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-restricted: pairs
+    are generated ONLY within a random-hyperplane bucket (never all-pairs),
+    then confirmed by exact cosine — the embedding flavor of the
+    prefilter-then-exact-confirm dedup design. The 0.3 threshold is
+    calibrated to the fixture's random-embedding tail (its max pairwise
+    cosine is ~0.46); real corpora use ~0.9+ with more planes."""
+    e = _t(spark, sf_dir, "embeddings")
+    ee = _emb_double()
+    bucket = None
+    for j in range(4):
+        bit = F.when(_dot(ee, _lsh_plane(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", ee.alias("ee"), bucket.cast("int").alias("bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    cos = F.round(
+        _dot(F.col("x.ee"), F.col("y.ee"))
+        / (
+            F.sqrt(_dot(F.col("x.ee"), F.col("x.ee")))
+            * F.sqrt(_dot(F.col("y.ee"), F.col("y.ee")))
+        ),
+        6,
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            cos.alias("cos_sim"),
+        )
+        .where("cos_sim >= 0.3")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_PAIRS = (
+    "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ee, CAST("
+    + " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {_lsh_plane_sql(j)})"
+        f" > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    + " AS INT) AS bucket FROM embeddings) "
+    "SELECT x.vec_id AS a, y.vec_id AS b, "
+    "ROUND(list_inner_product(x.ee, y.ee) / "
+    "(sqrt(list_inner_product(x.ee, x.ee)) * sqrt(list_inner_product(y.ee, y.ee))), 6)"
+    " AS cos_sim "
+    "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id "
+    "WHERE ROUND(list_inner_product(x.ee, y.ee) / "
+    "(sqrt(list_inner_product(x.ee, x.ee)) * sqrt(list_inner_product(y.ee, y.ee))), 6)"
+    " >= 0.3"
+)
+
+
+_IVF_K = 8  # centroid count
+
+
+def _ivf_centroid(k: int):
+    """Deterministic pseudo-centroid c_k[d] = ((d*13 + k*29) % 11) - 5."""
+    return F.array(
+        *[F.lit(float(((d * 13 + k * 29) % 11) - 5)) for d in range(_EMB_DIM)]
+    )
+
+
+def _ivf_centroid_sql(k: int) -> str:
+    return (
+        f"list_transform(range({_EMB_DIM}), d -> "
+        f"CAST(((d*13 + {k}*29) % 11) - 5 AS DOUBLE))"
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the other scale path besides LSH): vectors are assigned to
+    the nearest of K deterministic coarse centroids (argmax dot), queries
+    search ONLY their own cell (nprobe=1) with exact cosine + window top-3.
+    At corpus scale cells come from a trained k-means; the deterministic
+    centroids keep the oracle exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    ee = _emb_double()
+    dots = F.array(*[_dot(ee, _ivf_centroid(k)) for k in range(_IVF_K)])
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    b = e.select("vec_id", ee.alias("ee"), cell.alias("cell"))
+    q = b.where("vec_id < 8").select(
+        F.col("vec_id").alias("qid"), F.col("ee").alias("qe"), "cell"
+    )
+    cand = b.where("vec_id >= 8")
+    cos = F.round(
+        _dot(F.col("ee"), F.col("qe"))
+        / (
+            F.sqrt(_dot(F.col("ee"), F.col("ee")))
+            * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.join(F.broadcast(q), "cell")
+        .select("qid", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where("rk <= 3")
+    )
+
+
+SQL_ANN_IVF_TOPK = (
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS ee, ["
+    + ", ".join(
+        f"list_inner_product(embedding::DOUBLE[], {_ivf_centroid_sql(k)})"
+        for k in range(_IVF_K)
+    )
+    + "] AS dots FROM embeddings), "
+    "b AS (SELECT vec_id, ee, "
+    "CAST(list_position(dots, list_max(dots)) - 1 AS INT) AS cell FROM d), "
+    "q AS (SELECT vec_id AS qid, ee AS qe, cell FROM b WHERE vec_id < 8), "
+    "scored AS (SELECT q.qid, b.vec_id, "
+    "ROUND(list_inner_product(b.ee, q.qe) / "
+    "(sqrt(list_inner_product(b.ee, b.ee)) * sqrt(list_inner_product(q.qe, q.qe))), 6)"
+    " AS cos_sim FROM b JOIN q ON b.cell = q.cell WHERE b.vec_id >= 8) "
+    "SELECT qid, vec_id, cos_sim, rk FROM ("
+    "SELECT qid, vec_id, cos_sim, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id)"
+    " AS BIGINT) AS rk FROM scored) WHERE rk <= 3"
+)
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: token counts, avg token length, stopword ratio."""
     d = _t(spark, sf_dir, "documents")
@@ -1162,6 +1289,10 @@ REGISTRY: dict = {
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_lsh_topk_batch": (q_ann_lsh_topk_batch, SQL_ANN_LSH_TOPK_BATCH),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "embedding_near_dup_pairs": (
+        q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS,
+    ),
     "corpus_enrich": (q_corpus_enrich, SQL_CORPUS_ENRICH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),

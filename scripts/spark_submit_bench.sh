@@ -4,10 +4,24 @@
 #   scripts/spark_submit_bench.sh [master] [fixture_dir] [pages_canon] [cycles]
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
+export REPO
 MASTER="${1:-local[8]}"
 FIXTURE="${2:-$REPO/.bench_cache/n20000}"
 PAGES="${3:-$FIXTURE/pages_canon}"
 CYCLES="${4:-1}"
+
+# generate the fixture (and its bucketed corpus) if absent
+python - "$FIXTURE" <<'EOF'
+import os, sys
+fix = sys.argv[1]
+if not os.path.exists(os.path.join(fix, "pages_canon")):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(fix))))
+    repo = os.environ.get("REPO", os.getcwd())
+    sys.path.insert(0, repo)
+    from bench import ensure_corpus
+    n = int(os.path.basename(fix.rstrip("/")).lstrip("n"))
+    ensure_corpus(n)
+EOF
 
 ZIP=/tmp/frontier_engine_pyfiles.zip
 rm -f "$ZIP"
