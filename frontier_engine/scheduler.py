@@ -380,6 +380,14 @@ class FrontierScheduler:
             *schemas.PENDING.fieldNames()
         ).unionByName(retriable)
 
+        # fetch_seq: the total crawl order within a bucket. One window task
+        # sorts a bucket's SCHEDULED slice — bounded by sum(budget(host))
+        # over the bucket's hosts, NOT by the frontier (the politeness
+        # budget caps it; the unbounded-pending skew case is already
+        # two-phased in rank_by_budget). If a deployment's budgets make a
+        # bucket's slice exceed task memory, raise n_buckets — the bound
+        # scales as 1/n_buckets while the politeness semantics are
+        # per-host and unaffected.
         wb = Window.partitionBy("host_bucket").orderBy(
             F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
         )
