@@ -132,10 +132,15 @@ def main() -> None:
     ap.add_argument("--pages-canon", required=True)
     ap.add_argument("--cycles", type=int, default=1)
     ap.add_argument("--default-budget", type=int, default=10**9)
+    ap.add_argument(
+        "--keep-workdir",
+        default=None,
+        help="persist the run's committed tables here (determinism checks)",
+    )
     args = ap.parse_args()
     res = run_once(
         args.master, args.fixture, args.pages_canon, args.cycles,
-        args.default_budget,
+        args.default_budget, keep_workdir=args.keep_workdir,
     )
     print("BENCHJSON " + json.dumps(res), flush=True)
 
