@@ -1165,6 +1165,107 @@ FROM documents
 """
 
 
+def q_doc_length_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of document length per lang (corpus
+    quality profiling; Spark `percentile` == DuckDB `quantile_cont`)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.round(F.expr("percentile(length(text), 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(length(text), 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(length(text), 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+SQL_DOC_LENGTH_PERCENTILES = """
+SELECT lang,
+       ROUND(quantile_cont(length(text), 0.5), 4) AS p50,
+       ROUND(quantile_cont(length(text), 0.9), 4) AS p90,
+       ROUND(quantile_cont(length(text), 0.99), 4) AS p99,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_robots_parse(spark, sf_dir):
+    """Parse raw robots.txt text into the engine's disallow-prefix array
+    (north-star robots cache ingest): split lines, keep `Disallow:` rules,
+    strip the directive, sort. The raw text is synthesized per doc so the
+    parse itself is the thing under test."""
+    d = _t(spark, sf_dir, "documents").where("doc_id < 200")
+    raw = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: 1\nDisallow: /private/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\n# comment\nAllow: /public\nDisallow: /tmp\n"),
+    )
+    lines = F.split(raw, "\n")
+    rules = F.filter(lines, lambda l: l.startswith("Disallow: "))
+    disallow = F.sort_array(
+        F.transform(rules, lambda l: F.substring(l, 11, 1000))
+    )
+    return d.select(
+        "doc_id",
+        disallow.alias("disallow"),
+        F.size(disallow).cast("long").alias("n_rules"),
+    )
+
+
+SQL_ROBOTS_PARSE = """
+SELECT doc_id,
+       list_sort(list_transform(
+         list_filter(
+           string_split('User-agent: *' || chr(10) || 'Crawl-delay: 1' ||
+             chr(10) || 'Disallow: /private/' || doc_id || chr(10) ||
+             '# comment' || chr(10) || 'Allow: /public' || chr(10) ||
+             'Disallow: /tmp' || chr(10), chr(10)),
+           l -> l LIKE 'Disallow: %'),
+         l -> substr(l, 11, 1000))) AS disallow,
+       len(list_filter(
+           string_split('User-agent: *' || chr(10) || 'Crawl-delay: 1' ||
+             chr(10) || 'Disallow: /private/' || doc_id || chr(10) ||
+             '# comment' || chr(10) || 'Allow: /public' || chr(10) ||
+             'Disallow: /tmp' || chr(10), chr(10)),
+           l -> l LIKE 'Disallow: %')) AS n_rules
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_crawl_delay_schedule(spark, sf_dir):
+    """Per-host crawl-delay pacing (robots crawl_delay_ms semantics):
+    within each host, the k-th scheduled URL's planned fetch time is
+    t0 + (k-1) * delay(host) — a window rank + timestamp arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 20).cast("int")
+    w = Window.partitionBy(host).orderBy("doc_id")
+    rk = F.row_number().over(w)
+    planned = F.expr(
+        "timestampadd(MILLISECOND, CAST((doc_id % 20 + 1) * 250 * "
+        "(row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1)"
+        " AS INT), TIMESTAMP'2024-01-01 00:00:00')"
+    )
+    return d.select(
+        "doc_id",
+        host.alias("host_id"),
+        rk.cast("long").alias("rk"),
+        planned.alias("planned_ts"),
+    )
+
+
+SQL_CRAWL_DELAY_SCHEDULE = """
+SELECT doc_id,
+       CAST(doc_id % 20 AS INT) AS host_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) AS rk,
+       TIMESTAMP '2024-01-01 00:00:00' +
+         (doc_id % 20 + 1) * 250 *
+         (ROW_NUMBER() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1)
+         * INTERVAL 1 MILLISECOND AS planned_ts
+FROM documents
+"""
+
+
 def q_corpus_enrich(spark, sf_dir):
     """The engine's corpus-enrichment stage (corpus.enrich — the SAME
     transform scheduler.run_cycle commits as page_stats) applied to the
@@ -1294,6 +1395,11 @@ REGISTRY: dict = {
         q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS,
     ),
     "corpus_enrich": (q_corpus_enrich, SQL_CORPUS_ENRICH),
+    "doc_length_percentiles": (
+        q_doc_length_percentiles, SQL_DOC_LENGTH_PERCENTILES,
+    ),
+    "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
+    "crawl_delay_schedule": (q_crawl_delay_schedule, SQL_CRAWL_DELAY_SCHEDULE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
