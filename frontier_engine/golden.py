@@ -44,6 +44,7 @@ def spark_trace(spark: SparkSession, io: TableIO, cycles: range) -> dict:
             .select(
                 "host_bucket", "fetch_seq", "url_canon", "url_hash", "host",
                 "priority", F.unix_micros("crawl_ts").alias("ts_us"), "retries",
+                F.unix_micros("planned_fetch_ts").alias("planned_us"),
             )
             .collect()
         )
@@ -53,7 +54,7 @@ def spark_trace(spark: SparkSession, io: TableIO, cycles: range) -> dict:
         out["scheduled"][k] = {
             b: [
                 (r["url_canon"], r["url_hash"], r["host"], r["priority"],
-                 r["ts_us"], r["retries"])
+                 r["ts_us"], r["retries"], r["planned_us"])
                 for r in sorted(rows, key=lambda r: r["fetch_seq"])
             ]
             for b, rows in by_bucket.items()

@@ -72,7 +72,8 @@ class PendingRow:
 @dataclass
 class RefResult:
     # cycle -> bucket -> ordered list of scheduled tuples
-    # (url_canon, url_hash, host, priority, crawl_ts_epoch_us, retries)
+    # (url_canon, url_hash, host, priority, crawl_ts_epoch_us, retries,
+    #  planned_fetch_ts_epoch_us)
     scheduled: dict = field(default_factory=dict)
     # cycle -> {(cycle,bucket) lineage counts}
     lineage: dict = field(default_factory=dict)
@@ -119,6 +120,9 @@ def run(
     """
     pages = load_pages_lookup(pages_rows)
     robots = {r["host"]: list(r["disallow"]) for r in robots_rows}
+    delays = {
+        r["host"]: int(r.get("crawl_delay_ms") or 0) for r in robots_rows
+    }
 
     res = state if state is not None else RefResult()
     pending = res.pending
@@ -187,9 +191,18 @@ def run(
         for row in pending.values():
             by_host.setdefault(row.host, []).append(row)
         scheduled: list[PendingRow] = []
+        # planned_fetch_ts: crawl-delay pacing — the i-th scheduled URL of a
+        # host (0-based, in crawl order) is planned at
+        # cycle_base + i * crawl_delay_ms(host)
+        cycle_base_us = _epoch_us(T0 + timedelta(hours=k - 1))
+        planned_us: dict[int, int] = {}
         for host, rows in by_host.items():
             rows.sort(key=lambda r: (-r.priority, r.crawl_ts, r.url_hash))
-            scheduled.extend(rows[: cfg.budget_of(host)])
+            take = rows[: cfg.budget_of(host)]
+            d_us = delays.get(host, 0) * 1000
+            for i, r in enumerate(take):
+                planned_us[r.url_hash] = cycle_base_us + i * d_us
+            scheduled.extend(take)
         for row in scheduled:
             bump(row.host_bucket, "enqueued")
 
@@ -205,6 +218,7 @@ def run(
                     r.priority,
                     _epoch_us(r.crawl_ts),
                     r.retries,
+                    planned_us[r.url_hash],
                 )
                 for r in sorted(
                     rows, key=lambda r: (-r.priority, r.crawl_ts, r.url_hash)

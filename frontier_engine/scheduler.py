@@ -319,9 +319,9 @@ class FrontierScheduler:
         )
         ranked.persist()
         tick("robots+budget window", ranked)
-        scheduled = ranked.where(F.col("rk") <= F.col("budget")).drop(
-            "rk", "budget"
-        )
+        # keep rk: it is the per-host crawl-order rank, reused below for
+        # crawl-delay pacing (planned_fetch_ts)
+        scheduled = ranked.where(F.col("rk") <= F.col("budget")).drop("budget")
         deferred = ranked.where(F.col("rk") > F.col("budget")).drop(
             "rk", "budget"
         )
@@ -391,8 +391,24 @@ class FrontierScheduler:
         wb = Window.partitionBy("host_bucket").orderBy(
             F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
         )
-        scheduled_out = scheduled.withColumn("cycle", F.lit(cycle)).withColumn(
-            "fetch_seq", F.row_number().over(wb)
+        # crawl-delay pacing: the host's k-th scheduled URL (rk, the
+        # politeness-window rank) is planned at cycle_base + (rk-1) *
+        # robots.crawl_delay_ms — broadcast dim join, no extra shuffle
+        base_ts = (T0 + timedelta(hours=cycle - 1)).isoformat(sep=" ")
+        delays = F.broadcast(self.robots.select("host", "crawl_delay_ms"))
+        scheduled_out = (
+            scheduled.withColumn("cycle", F.lit(cycle))
+            .withColumn("fetch_seq", F.row_number().over(wb))
+            .join(delays, "host", "left")
+            .withColumn(
+                "planned_fetch_ts",
+                F.expr(
+                    "timestampadd(MILLISECOND, CAST((rk - 1) * "
+                    "coalesce(crawl_delay_ms, 0) AS BIGINT), "
+                    f"TIMESTAMP'{base_ts}')"
+                ),
+            )
+            .drop("crawl_delay_ms")
         )
         # the priority queue, physically: (salted) repartition + local sort.
         # salt_factor > 1 splits hot buckets across tasks; fetch_seq already

@@ -36,6 +36,9 @@ SCHEDULED = T.StructType(
         T.StructField("priority", T.IntegerType()),
         T.StructField("crawl_ts", T.TimestampType()),
         T.StructField("retries", T.IntegerType()),
+        # crawl-delay pacing: cycle_base + (per-host rank - 1) *
+        # robots.crawl_delay_ms (0 when the host has no robots row)
+        T.StructField("planned_fetch_ts", T.TimestampType()),
     ]
 )
 
