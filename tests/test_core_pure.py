@@ -98,7 +98,7 @@ def test_refspec_three_cycles(tiny_fixture_dir):
     # scheduled order is per-bucket sorted by (prio desc, ts, hash)
     for cyc in res.scheduled.values():
         for rows in cyc.values():
-            keys = [(-p, ts, h) for (_, h, _, p, ts, _) in rows]
+            keys = [(-p, ts, h) for (_, h, _, p, ts, _, _pl) in rows]
             assert keys == sorted(keys)
 
 
