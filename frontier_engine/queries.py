@@ -1266,6 +1266,45 @@ FROM documents
 """
 
 
+def q_user_sessions(spark, sf_dir):
+    """Built-in session windows (F.session_window, 1h gap) per user — the
+    batch shape of the engine's streaming sessionization; the oracle is the
+    classic gaps-and-islands SQL (a new session starts when the gap to the
+    previous event is >= the window's gapDuration, matching Spark's
+    [start, last+gap) semantics)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window(F.col("ts"), "1 hour").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_corpus_enrich(spark, sf_dir):
     """The engine's corpus-enrichment stage (corpus.enrich — the SAME
     transform scheduler.run_cycle commits as page_stats) applied to the
@@ -1400,6 +1439,7 @@ REGISTRY: dict = {
     ),
     "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
     "crawl_delay_schedule": (q_crawl_delay_schedule, SQL_CRAWL_DELAY_SCHEDULE),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
