@@ -23,6 +23,17 @@ implied by sqlite ROWID monotonicity + the last_row checkpoint). Semantics:
 
 All bit-twiddling is numpy-vectorized for lookups and bloom builds; only the
 cuckoo insert path walks items (it touches only the small per-cycle delta).
+
+STORAGE SEAM (mirrors TableIO's Iceberg seam): sidecars are .npz files
+under ``io.root/filters/cycle=<k>/`` written by executor tasks and read by
+later tasks — this requires ``io.root`` to be a SHARED filesystem (NFS/
+Lustre/FUSE-mounted object store), the same assumption Spark makes for
+``checkpointLocation``. On local[32] any path works. The carry-forward
+hardlink degrades to a copy across devices (``rebuild_filters``); on a
+store with no POSIX mount, swap ``_sidecar``/``load_filter``/``save`` for a
+parquet-rows representation (bucket, kind, words BINARY) read through the
+SparkSession — the call sites are already isolated behind these three
+functions.
 """
 
 from __future__ import annotations
