@@ -356,6 +356,13 @@ class FrontierScheduler:
         fetched.persist()
         tick("fetch+extract", fetched)
 
+        if os.environ.get("FRONTIER_EXPLAIN") == "1":
+            # plan capture for docs/EXPLAIN.md (ingest->dedup->robots->
+            # budget->fetch); persisted frames show as InMemoryRelation
+            # with their child plans inline
+            print(f"=== CYCLE {cycle} PIPELINE PLAN (fetched) ===", flush=True)
+            fetched.explain("formatted")
+
         done = fetched.where("ok")
         miss = fetched.where("NOT ok")
 
