@@ -19,9 +19,11 @@ groupBy/join for the near-dup group:
 - predicted_lang: marker-token heuristic language ID
 - nd_group:      near-dup group id = least id sharing ANY MinHash band
   bucket (one LSH hop; docs with no 3-gram shingles group with themselves).
-  One hop is deliberate: a full connected-components closure is iterative
-  (GraphFrames/convergence loop) and rarely needed for near-dup pruning —
-  the hop already links every pair the banded LSH would emit.
+  One hop is deliberate: the hop already links every pair the banded LSH
+  would emit, which is what near-dup pruning needs. The full iterative
+  closure exists as the driver query ``neardup_components``
+  (queries.q_neardup_components): min-label propagation to a fixpoint,
+  oracle-checked against a DuckDB recursive reachability CTE.
 
 The reference has no analog (container-crawler hands rows to opaque
 handlers, base_handler.py ≈L48); this is the north-star "what a 100-TB

@@ -529,6 +529,71 @@ SQL_MINHASH_LSH_PAIRS = (
 )
 
 
+def q_neardup_components(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate graph — the
+    full transitive closure that the engine's page_stats stage
+    (corpus.py nd_group) deliberately truncates to one hop. This is the
+    repo's iterative-algorithm operator: min-label propagation,
+    ``comp(v) <- min(comp(v), min comp over v's neighbors)``, repeated
+    to a fixpoint. Each round is one join + one min-aggregation (two
+    shuffles); rounds needed = component diameter, which for LSH
+    near-dup graphs is tiny (dup clusters are dense). If diameters ever
+    grew, the O(log n)-round large-star/small-star contraction is the
+    drop-in upgrade — same driver-loop skeleton. Exactly oracle-checked
+    by a recursive reachability CTE in DuckDB (min reachable id ==
+    component id on a symmetric edge set). Singletons keep comp=doc_id.
+
+    Scale notes: `comp` is (id, comp) longs only — tiny vs the corpus;
+    the LSH edge set is band-bucket bounded (never all-pairs); per-round
+    frames are persisted and the previous round unpersisted, so lineage
+    and memory stay O(1) across iterations."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.union(pairs.select(F.col("b"), F.col("a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    comp = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
+        .persist()
+    )
+    for _ in range(25):  # safety bound; fixpoint is reached in O(diameter)
+        msgs = edges.join(comp, edges.src == comp.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new_comp = (
+            comp.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_comp.join(comp.withColumnRenamed("comp", "old"), "id")
+            .where("comp != old")
+            .count()
+        )
+        comp.unpersist()
+        comp = new_comp
+        if changed == 0:
+            break
+    edges.unpersist()
+    return comp.select(F.col("id").alias("doc_id"), "comp")
+
+
+SQL_NEARDUP_COMPONENTS = (
+    "WITH RECURSIVE pairs AS ("
+    + SQL_MINHASH_LSH_PAIRS
+    + "), edges AS (SELECT a AS src, b AS dst FROM pairs "
+    "UNION ALL SELECT b, a FROM pairs), "
+    "reach(id, comp) AS ("
+    " SELECT doc_id, doc_id FROM documents"
+    " UNION"
+    " SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id) "
+    "SELECT id AS doc_id, MIN(comp) AS comp FROM reach GROUP BY id"
+)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard confirmation over the MinHash-LSH candidate
     pairs — prefilter-then-exact-confirm, the same design the engine uses
@@ -1423,6 +1488,7 @@ REGISTRY: dict = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "simhash16": (q_simhash16, SQL_SIMHASH16),
     "simhash64_bands": (q_simhash64_bands, SQL_SIMHASH64_BANDS),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
