@@ -26,6 +26,22 @@ def _runner(script):
     return run
 
 
+def test_adaptive_best_stops_once_above_floor():
+    run = _runner({"local[32]": [95.0]})
+    best = {
+        "elapsed_sec": 100.0,
+        "urls_per_sec": 6000.0,
+        "all_elapsed_sec": [100.0, 103.0],
+    }
+    out = bench.adaptive_best(
+        best, lambda: run("local[32]", "f", "p", 3), below=7500.0
+    )
+    # 1M/95 ~= 10.5k/s > floor -> exactly one extra, best swapped in
+    assert out["adaptive_extra_runs"] == 1
+    assert out["elapsed_sec"] == 95.0
+    assert out["all_elapsed_sec"] == [100.0, 103.0, 95.0]
+
+
 def test_best_of_picks_min_and_reports_all():
     run = _runner({"local[1]": [100.0, 90.0, 110.0]})
     best = bench.best_of("local[1]", "f", "p", 1, 3, run)
