@@ -43,6 +43,14 @@ class EngineConfig:
     # exact window — the right choice when budgets are effectively unbounded
     # (top-k pruning would keep everything and only add a pass).
     politeness_salt: int = 8
+    # periodic change-scanning (the reference's core loop is RE-scanning
+    # containers every pass, not crawl-once): when set, a url_seen entry
+    # only blocks re-enqueue for this many cycles after its latest
+    # admission — a URL re-discovered at cycle k is eligible again when
+    # its last url_seen delta is at cycle <= k - ttl. URLs still waiting
+    # in the frontier are blocked by a pending anti-join instead (url_seen
+    # is written at enqueue, not fetch). None = crawl-once (default).
+    recrawl_after_cycles: int | None = None
     # commit a per-cycle page_stats table (corpus.enrich over the cycle's
     # successfully fetched pages: fingerprint / quality / token counts /
     # language ID / MinHash-LSH near-dup group). Off by default: it is

@@ -79,6 +79,8 @@ class RefResult:
     lineage: dict = field(default_factory=dict)
     # final url_seen membership
     seen: set = field(default_factory=set)
+    # url_hash -> cycle of its LATEST url_seen delta (recrawl TTL bookkeeping)
+    seen_cycle: dict = field(default_factory=dict)
     # cycle -> set of url_hash admitted that cycle (url_seen deltas)
     seen_delta: dict = field(default_factory=dict)
     # final pending carry: url_hash -> PendingRow
@@ -143,13 +145,19 @@ def run(
             d[field_] += n
 
         # -- 1. ingest -------------------------------------------------
+        # recrawl TTL (periodic change-scanning): a seen entry blocks only
+        # while its latest admission cycle > k - ttl; URLs still pending
+        # are always blocked (they were admitted and not yet resolved)
+        ttl = cfg.recrawl_after_cycles
         grouped: dict[int, PendingRow] = {}
         for raw, prio, dts in discoveries:
             c = canonicalize(raw)
             h = xxhash64_str(c)
             host = host_of(c)
             bucket = pmod_bucket(host, cfg.n_buckets)
-            if h in seen:
+            if h in seen and (
+                ttl is None or res.seen_cycle[h] > k - ttl or h in pending
+            ):
                 bump(bucket, "deduped")
                 continue
             if h in grouped:
@@ -169,6 +177,7 @@ def run(
         res.seen_delta[k] = set(grouped.keys())
         for h, row in grouped.items():
             seen.add(h)
+            res.seen_cycle[h] = k
             pending[h] = row
             bump(row.host_bucket, "discovered")
 

@@ -237,6 +237,16 @@ class FrontierScheduler:
             spark, "pending", cycle - 1, schemas.PENDING
         )
         seen = io.read_appended(spark, "url_seen", cycle - 1, schemas.URL_SEEN)
+        # recrawl TTL (periodic change-scanning, refspec §1): a url_seen
+        # row blocks re-enqueue only while first_seen_cycle > cycle - ttl.
+        # A recrawled URL writes a fresh delta row at its new cycle, so the
+        # latest admission always sits inside the window; expired rows stay
+        # in the table (compaction/filters need full history) but stop
+        # blocking here. URLs still waiting in the frontier are blocked by
+        # the pending anti-join below instead (url_seen marks ENQUEUE).
+        ttl = cfg.recrawl_after_cycles
+        if ttl is not None:
+            seen = seen.where(F.col("first_seen_cycle") > cycle - ttl)
 
         # ---- 1. ingest: canonicalize -> key -> dedup (batch + seen) -------
         # spread candidates across all cores BEFORE the pandas UDF — a
@@ -288,6 +298,15 @@ class FrontierScheduler:
             new_keys = definite_new.unionByName(confirmed_new)
         else:
             new_keys = cand_g.join(seen, "url_hash", "left_anti")
+
+        if ttl is not None and not fresh_start:
+            # TTL mode: an expired seen row must not re-admit a URL that is
+            # still in the frontier — anti-join on the pending keys (keys
+            # only; pending is partitioned by host_bucket and this joins on
+            # url_hash, the same key the dedup agg just shuffled on)
+            new_keys = new_keys.join(
+                pending_prev.select("url_hash"), "url_hash", "left_anti"
+            )
 
         ingested = new_keys.select(
             "url_canon",

@@ -118,6 +118,40 @@ def test_resume_rebuilds_filters_over_gap(
     assert seen.count() == seen.select("url_hash").distinct().count()
 
 
+def test_recrawl_ttl_golden(spark, tiny_fixture_dir, tmp_path_factory):
+    """cfg.recrawl_after_cycles — the reference's actual loop is PERIODIC
+    change-scanning (re-enumerate every container each pass), not
+    crawl-once. With ttl=2, url_seen entries expire after 2 cycles and
+    re-discovered URLs are re-fetched; the Spark trace (order, lineage,
+    url_seen, pending) must still EXACTLY equal refspec over 6 cycles, and
+    the run must contain at least one genuine recrawl so the test can't
+    pass vacuously."""
+    import dataclasses
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix), recrawl_after_cycles=2
+    )
+    work = str(tmp_path_factory.mktemp("engine-ttl"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=6)
+    st = spark_trace(spark, eng.io, range(1, 7))
+
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    rt = ref_trace(run(pages, seeds, robots, cfg, cycles=6))
+    probs = diff_traces(st, rt)
+    assert probs == [], "\n".join(probs)
+
+    # some hash must be scheduled in >= 2 distinct cycles (a real recrawl)
+    sched_cycles: dict = {}
+    for k, by_bucket in st["scheduled"].items():
+        for rows in by_bucket.values():
+            for t in rows:
+                sched_cycles.setdefault(t[1], set()).add(k)
+    n_recrawled = sum(1 for cs in sched_cycles.values() if len(cs) >= 2)
+    assert n_recrawled > 0
+
+
 def test_page_stats_enrichment_golden(spark, tiny_fixture_dir, tmp_path_factory):
     """cfg.enrich_pages commits a page_stats table per cycle (the
     training-data stage over the engine's own fetched corpus). Every column
