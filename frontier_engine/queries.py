@@ -529,6 +529,62 @@ SQL_MINHASH_LSH_PAIRS = (
 )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: the share of
+    all word 2-grams held by the single most frequent 2-gram
+    (top2gram_ratio) and the fraction of 2-gram occurrences that are
+    repeats of an earlier one (dup2gram_ratio). Repetitive/boilerplate
+    docs score high; a training-data quality filter thresholds on these.
+    One explode + two-level aggregation, all JVM built-ins — per-doc work,
+    no joins, linear at corpus scale. Docs with < 2 words emit no grams
+    and are excluded (same in the oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "  i -> array_join(slice(split(text, ' '), i, 2), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("top") / F.col("total"), 4).alias(
+                "top2gram_ratio"
+            ),
+            F.round(
+                (F.col("total") - F.col("n_distinct")) / F.col("total"), 4
+            ).alias("dup2gram_ratio"),
+        )
+    )
+
+
+SQL_TEXT_REPETITION = (
+    "WITH grams AS ("
+    " SELECT doc_id, unnest(list_transform(range(1, len(words)),"
+    "   i -> array_to_string(words[i:i+1], ' '))) AS g"
+    " FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)"
+    " WHERE len(words) >= 2"
+    "), per_gram AS ("
+    " SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g) "
+    "SELECT doc_id, "
+    "ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS top2gram_ratio, "
+    "ROUND((SUM(c) - COUNT(*))::DOUBLE / SUM(c), 4) AS dup2gram_ratio "
+    "FROM per_gram GROUP BY doc_id"
+)
+
+
 def q_neardup_components(spark, sf_dir):
     """Connected components over the MinHash-LSH candidate graph — the
     full transitive closure that the engine's page_stats stage
@@ -1507,6 +1563,7 @@ REGISTRY: dict = {
     "crawl_delay_schedule": (q_crawl_delay_schedule, SQL_CRAWL_DELAY_SCHEDULE),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
