@@ -20,6 +20,10 @@ Cycle-k semantics (normative; scheduler.py mirrors this stage for stage):
    remaining occurrences are grouped by hash keeping max(priority) (extra
    occurrences deduped++); admitted rows enter `pending` with
    crawl_ts = discovered_ts, retries = 0, and their hash enters url_seen.
+   With cfg.recrawl_after_cycles = T (periodic change-scanning), a seen
+   hash blocks only while its latest admission cycle > k - T OR the row is
+   still pending; an expired, re-discovered hash is re-admitted as a fresh
+   row (retries = 0) and its url_seen cycle advances to k.
 2. rows_scanned(bucket) = |pending in bucket| after ingest.
 3. ROBOTS: pending rows whose path starts with any disallow prefix of their
    host leave the frontier permanently (robots_skipped++; state='skipped').
