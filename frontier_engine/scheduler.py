@@ -236,7 +236,6 @@ class FrontierScheduler:
         pending_prev = io.read_cycle(
             spark, "pending", cycle - 1, schemas.PENDING
         )
-        seen = io.read_appended(spark, "url_seen", cycle - 1, schemas.URL_SEEN)
         # recrawl TTL (periodic change-scanning, refspec §1): a url_seen
         # row blocks re-enqueue only while first_seen_cycle > cycle - ttl.
         # A recrawled URL writes a fresh delta row at its new cycle, so the
@@ -244,9 +243,19 @@ class FrontierScheduler:
         # in the table (compaction/filters need full history) but stop
         # blocking here. URLs still waiting in the frontier are blocked by
         # the pending anti-join below instead (url_seen marks ENQUEUE).
+        # Scan path: only the last ttl cycles' deltas are read (the full
+        # seen history never has to be scanned per cycle); the residual
+        # where() handles a consolidated base that folds older rows in.
         ttl = cfg.recrawl_after_cycles
         if ttl is not None:
-            seen = seen.where(F.col("first_seen_cycle") > cycle - ttl)
+            lo = max(1, cycle - ttl + 1)
+            seen = io.read_appended_since(
+                spark, "url_seen", cycle - 1, lo, schemas.URL_SEEN
+            ).where(F.col("first_seen_cycle") >= lo)
+        else:
+            seen = io.read_appended(
+                spark, "url_seen", cycle - 1, schemas.URL_SEEN
+            )
 
         # ---- 1. ingest: canonicalize -> key -> dedup (batch + seen) -------
         # spread candidates across all cores BEFORE the pandas UDF — a

@@ -177,6 +177,37 @@ class TableIO:
             out = out.unionByName(d)
         return out
 
+    def read_appended_since(
+        self, spark, name: str, through_cycle: int, from_cycle: int, schema
+    ):
+        """read_appended restricted to rows written at cycle >= from_cycle.
+
+        Exploits the append-table layout: the delta of cycle j contains
+        exclusively rows stamped j, so deltas before from_cycle are skipped
+        wholesale, and a consolidated base older than from_cycle (which can
+        only hold rows stamped <= its own cycle) is skipped too. A base AT
+        OR AFTER from_cycle is included whole — it folds older rows in, so
+        callers must still filter on the row's cycle column. This is the
+        recrawl-TTL scan path: the per-cycle blocking set reads O(ttl)
+        cycle dirs instead of the full 10^10-row seen history."""
+        paths = []
+        start = max(1, from_cycle)
+        base_name = f"{name}_base"
+        for c in range(through_cycle, 0, -1):
+            m = self.manifest(c)
+            if m and base_name in m["tables"]:
+                if c >= from_cycle:
+                    paths.append(
+                        os.path.join(self.root, m["tables"][base_name])
+                    )
+                    start = c + 1
+                break
+        for c in range(max(start, from_cycle), through_cycle + 1):
+            m = self.manifest(c)
+            if m and name in m["tables"]:
+                paths.append(os.path.join(self.root, m["tables"][name]))
+        return self._union_paths(spark, paths, schema)
+
     def read_delta_range(
         self, spark, name: str, from_cycle: int, to_cycle: int, schema
     ):

@@ -129,8 +129,12 @@ def test_recrawl_ttl_golden(spark, tiny_fixture_dir, tmp_path_factory):
     import dataclasses
 
     fix = FixtureConfig(n_urls=2000)
+    # compact_every=2 forces url_seen_base consolidations inside the run,
+    # so the TTL scan path hits BOTH read_appended_since branches: a base
+    # at/after the window start (included + residual-filtered) and a base
+    # older than it (skipped wholesale, deltas only)
     cfg = dataclasses.replace(
-        config_for_fixture(fix), recrawl_after_cycles=2
+        config_for_fixture(fix), recrawl_after_cycles=2, compact_every=2
     )
     work = str(tmp_path_factory.mktemp("engine-ttl"))
     eng = build_engine(spark, tiny_fixture_dir, work, cfg)
