@@ -43,6 +43,12 @@ class EngineConfig:
     # exact window — the right choice when budgets are effectively unbounded
     # (top-k pruning would keep everything and only add a pass).
     politeness_salt: int = 8
+    # adaptive politeness: when set (an integer percentage >= 1), a host
+    # whose previous-cycle fetch failures satisfy
+    # errors_n * 100 >= pct * scheduled_n gets its budget halved (floor 1)
+    # for the next cycle. All-integer math so the refspec mirror is exact;
+    # per-host outcomes are committed per cycle as the host_stats table.
+    error_backoff_pct: int | None = None
     # periodic change-scanning (the reference's core loop is RE-scanning
     # containers every pass, not crawl-once): when set, a url_seen entry
     # only blocks re-enqueue for this many cycles after its latest

@@ -91,6 +91,9 @@ class RefResult:
     pending: dict = field(default_factory=dict)
     # url_hash -> final state for resolved rows ('done'|'error'|'skipped')
     resolved: dict = field(default_factory=dict)
+    # host -> (scheduled_n, errors_n) of the LAST completed cycle
+    # (error-backoff bookkeeping; carried so split runs resume exactly)
+    host_stats_prev: dict = field(default_factory=dict)
 
 
 def _epoch_us(dt) -> int:
@@ -209,9 +212,19 @@ def run(
         # cycle_base + i * crawl_delay_ms(host)
         cycle_base_us = _epoch_us(T0 + timedelta(hours=k - 1))
         planned_us: dict[int, int] = {}
+        bpct = cfg.error_backoff_pct
+
+        def eff_budget(host: str) -> int:
+            b = cfg.budget_of(host)
+            if bpct is not None and host in res.host_stats_prev:
+                s, e = res.host_stats_prev[host]
+                if s > 0 and e * 100 >= bpct * s:
+                    b = max(1, b // 2)
+            return b
+
         for host, rows in by_host.items():
             rows.sort(key=lambda r: (-r.priority, r.crawl_ts, r.url_hash))
-            take = rows[: cfg.budget_of(host)]
+            take = rows[: eff_budget(host)]
             d_us = delays.get(host, 0) * 1000
             for i, r in enumerate(take):
                 planned_us[r.url_hash] = cycle_base_us + i * d_us
@@ -243,9 +256,13 @@ def run(
         # -- 5. fetch -------------------------------------------------------
         next_dts = T0 + timedelta(hours=k)
         next_discoveries = []
+        host_stats: dict[str, list[int]] = {}
         for row in scheduled:
+            hs = host_stats.setdefault(row.host, [0, 0])
+            hs[0] += 1
             page = pages.get(row.url_canon)
             if page is None:
+                hs[1] += 1
                 bump(row.host_bucket, "errors")
                 if row.retries < cfg.retry_limit:
                     row.retries += 1  # stays pending; retried next cycle
@@ -264,6 +281,7 @@ def run(
                 next_discoveries.append((href, child_prio, next_dts))
 
         res.lineage[k] = lin
+        res.host_stats_prev = {h: tuple(v) for h, v in host_stats.items()}
         discoveries = next_discoveries
 
     res.carry_discoveries = discoveries  # type: ignore[attr-defined]

@@ -341,8 +341,38 @@ class FrontierScheduler:
         eligible = with_robots.where("NOT blocked").drop("blocked")
 
         # ---- 3. politeness budget: per-host window rank --------------------
+        # adaptive backoff: hosts whose previous cycle failed at >= pct%
+        # get a halved budget this cycle (floor 1). The backoff dim is
+        # bounded by the previous cycle's scheduled host count; inside
+        # rank_by_budget it rides the same broadcast as the static budgets.
+        budgets_dim = self.budgets
+        if cfg.error_backoff_pct is not None and not fresh_start:
+            hs = io.read_cycle(
+                spark, "host_stats", cycle - 1, schemas.HOST_STATS
+            )
+            backoff_hosts = hs.where(
+                (F.col("scheduled_n") > 0)
+                & (
+                    F.col("errors_n") * 100
+                    >= F.lit(cfg.error_backoff_pct) * F.col("scheduled_n")
+                )
+            ).select("host")
+            halved = backoff_hosts.join(
+                self.budgets, "host", "left"
+            ).withColumn(
+                "budget",
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.coalesce("budget", F.lit(cfg.default_budget)) / 2
+                    ),
+                ).cast("int"),
+            )
+            budgets_dim = self.budgets.join(
+                backoff_hosts, "host", "left_anti"
+            ).unionByName(halved)
         ranked = rank_by_budget(
-            eligible, self.budgets, cfg.default_budget,
+            eligible, budgets_dim, cfg.default_budget,
             salt=cfg.politeness_salt,
         )
         ranked.persist()
@@ -516,6 +546,19 @@ class FrontierScheduler:
             "lineage": (lineage.coalesce(1), None),
             "resolved": (resolved.coalesce(8), None),
         }
+
+        if cfg.error_backoff_pct is not None:
+            # per-host outcomes of THIS cycle's fetch wave — tiny dim read
+            # back next cycle to halve failing hosts' budgets
+            tables["host_stats"] = (
+                fetched.groupBy("host")
+                .agg(
+                    F.count(F.lit(1)).alias("scheduled_n"),
+                    F.sum((~F.col("ok")).cast("long")).alias("errors_n"),
+                )
+                .coalesce(1),
+                None,
+            )
 
         if cfg.enrich_pages:
             # training-data stage over this cycle's fetched corpus: the SAME

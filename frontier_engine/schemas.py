@@ -70,6 +70,16 @@ LINEAGE = T.StructType(
     ]
 )
 
+# per-cycle per-host fetch outcomes (committed only when
+# cfg.error_backoff_pct is set; drives next cycle's budget backoff)
+HOST_STATS = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("scheduled_n", T.LongType()),
+        T.StructField("errors_n", T.LongType()),
+    ]
+)
+
 DISCOVERIES = T.StructType(
     [
         T.StructField("url", T.StringType()),

@@ -156,6 +156,34 @@ def test_recrawl_ttl_golden(spark, tiny_fixture_dir, tmp_path_factory):
     assert n_recrawled > 0
 
 
+def test_error_backoff_golden(spark, tiny_fixture_dir, tmp_path_factory):
+    """cfg.error_backoff_pct — adaptive politeness: a host whose previous
+    cycle failed at >= pct% gets a halved budget (floor 1, all-integer
+    math). 5-cycle Spark trace must exactly equal refspec, and the backoff
+    must genuinely change the trace (refspec with vs without backoff
+    diverges) so the test can't pass vacuously."""
+    import dataclasses
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(config_for_fixture(fix), error_backoff_pct=10)
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+
+    ref_b = run(pages, seeds, robots, cfg, cycles=5)
+    ref_plain = run(
+        pages, seeds, robots, config_for_fixture(fix), cycles=5
+    )
+    assert any(
+        ref_b.scheduled[k] != ref_plain.scheduled[k] for k in range(1, 6)
+    ), "fixture produced no backoff — test would be vacuous"
+
+    work = str(tmp_path_factory.mktemp("engine-backoff"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=5)
+    st = spark_trace(spark, eng.io, range(1, 6))
+    probs = diff_traces(st, ref_trace(ref_b))
+    assert probs == [], "\n".join(probs)
+
+
 def test_page_stats_enrichment_golden(spark, tiny_fixture_dir, tmp_path_factory):
     """cfg.enrich_pages commits a page_stats table per cycle (the
     training-data stage over the engine's own fetched corpus). Every column
