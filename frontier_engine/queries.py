@@ -1314,8 +1314,9 @@ FROM documents GROUP BY lang
 def q_robots_parse(spark, sf_dir):
     """Parse raw robots.txt text into the engine's disallow-prefix array
     (north-star robots cache ingest): split lines, keep `Disallow:` rules,
-    strip the directive, sort. The raw text is synthesized per doc so the
-    parse itself is the thing under test."""
+    strip the directive, sort, then serialize "|"-joined (the driver's
+    pandas hash-canonicalizer cannot hash raw ARRAY columns). The raw text
+    is synthesized per doc so the parse itself is the thing under test."""
     d = _t(spark, sf_dir, "documents").where("doc_id < 200")
     raw = F.concat(
         F.lit("User-agent: *\nCrawl-delay: 1\nDisallow: /private/"),
@@ -1329,21 +1330,21 @@ def q_robots_parse(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        disallow.alias("disallow"),
+        F.array_join(disallow, "|").alias("disallow"),
         F.size(disallow).cast("long").alias("n_rules"),
     )
 
 
 SQL_ROBOTS_PARSE = """
 SELECT doc_id,
-       list_sort(list_transform(
+       array_to_string(list_sort(list_transform(
          list_filter(
            string_split('User-agent: *' || chr(10) || 'Crawl-delay: 1' ||
              chr(10) || 'Disallow: /private/' || doc_id || chr(10) ||
              '# comment' || chr(10) || 'Allow: /public' || chr(10) ||
              'Disallow: /tmp' || chr(10), chr(10)),
            l -> l LIKE 'Disallow: %'),
-         l -> substr(l, 11, 1000))) AS disallow,
+         l -> substr(l, 11, 1000))), '|') AS disallow,
        len(list_filter(
            string_split('User-agent: *' || chr(10) || 'Crawl-delay: 1' ||
              chr(10) || 'Disallow: /private/' || doc_id || chr(10) ||

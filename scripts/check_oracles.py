@@ -3,14 +3,25 @@
 Runs every queries() entry against its oracle_sql() via DuckDB (row count,
 sorted column names, order-insensitive normalized values) and prints one
 line per query. Usage: python scripts/check_oracles.py [sf_dir]
+
+Canonicalization deliberately mirrors the DRIVER's harness: results go
+through pandas and are sorted with DataFrame.sort_values over every column.
+pandas' lexsort factorizes each column, which raises
+``TypeError: unhashable type`` on list/map-valued cells — so a query that
+returns a raw ARRAY/MAP column FAILS HERE exactly like it fails on the
+driver (round-2 lesson: the old tuple-sort-by-repr replica tolerated lists
+and masked the `robots_parse` driver error).
 """
 
 import math
 import os
 import sys
 from datetime import datetime
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -22,15 +33,48 @@ TABLES = [
 
 
 def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
+    """Normalize one cell to a comparison-stable scalar. Lists/maps are
+    returned as-is so the pandas sort below throws on them, like the
+    driver."""
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
             return "nan"
-        return round(v, 6)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
+        return round(f, 6)
+    if isinstance(v, Decimal):
+        return round(float(v), 6)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, (pd.Timestamp, datetime)):
+        t = pd.Timestamp(v)
+        if t is pd.NaT:
+            return None
+        if t.tz is not None:
+            t = t.tz_localize(None)
+        return t.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, np.ndarray):
+        return v.tolist()  # still unhashable -> sort throws, as intended
     return v
+
+
+def canon(pdf):
+    """Driver-style canonical form: columns sorted by name, cells
+    normalized, rows sorted by pandas sort_values (raises TypeError on
+    unhashable cells). Returns (sorted_cols, list-of-row-tuples)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].copy()
+    for c in cols:
+        pdf[c] = pdf[c].map(_norm).astype(object)
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort")
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def main():
@@ -53,23 +97,18 @@ def main():
             n = fn(spark, sf_dir).count()
             print(f"{name}: rows-only, {n} rows")
             continue
-        df = fn(spark, sf_dir)
-        cols = sorted(df.columns)
-        s_rows = sorted(
-            (tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=repr
-        )
-        res = con.sql(sql)
-        dcols = list(res.columns)
-        order = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        d_rows = sorted(
-            (tuple(_norm(row[i]) for i in order) for row in res.fetchall()),
-            key=repr,
-        )
-        ok = cols == sorted(dcols) and s_rows == d_rows
+        try:
+            cols, s_rows = canon(fn(spark, sf_dir).toPandas())
+            dcols, d_rows = canon(con.sql(sql).df())
+        except TypeError as e:  # driver-parity: unhashable cell type
+            bad += 1
+            print(f"{name}: ERR driver-unhashable output ({e})")
+            continue
+        ok = cols == dcols and s_rows == d_rows
         if not ok:
             bad += 1
             print(f"{name}: MISMATCH spark={len(s_rows)} duck={len(d_rows)} "
-                  f"cols {cols} vs {sorted(dcols)}")
+                  f"cols {cols} vs {dcols}")
             for a, b in list(zip(s_rows, d_rows))[:3]:
                 if a != b:
                     print("   spark:", a)

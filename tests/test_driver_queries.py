@@ -78,6 +78,23 @@ def test_query_matches_oracle(spark, con, name):
     assert not mismatches, f"{name}: first diffs {mismatches[:5]}"
 
 
+def test_oracle_queries_have_driver_hashable_schemas(spark):
+    """The driver canonicalizes results via pandas sort_values, which throws
+    TypeError on list/map-valued cells. Guard every oracle-checked query
+    against exposing a top-level ArrayType/MapType column (the round-2
+    `robots_parse` driver error) — serialize arrays (array_join) instead."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = []
+    for name, (fn, sql) in _registry().items():
+        if sql is None:
+            continue
+        for f in fn(spark, SF_DIR).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"driver-unhashable columns: {offenders}"
+
+
 @pytest.mark.parametrize(
     "name", [n for n, (_f, sql) in _registry().items() if sql is None]
 )
