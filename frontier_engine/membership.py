@@ -3,43 +3,45 @@
 North-star operator with no reference analog (the reference's "seen" set is
 implied by sqlite ROWID monotonicity + the last_row checkpoint). Semantics:
 
-- one filter per host_bucket partition, persisted as an .npz sidecar under
-  ``<root>/filters/cycle=<k>/bucket=<b>.npz``;
+- one filter per host_bucket partition, stored as a PARQUET ROW
+  ``(host_bucket, kind, n_bits, status, data BINARY)`` in the TableIO table
+  ``filters/cycle=<k>/`` — the same storage layer as every other engine
+  table, so filters ride whatever filesystem/object store TableIO rides (the
+  round-2 ``.npz`` + ``os.link`` sidecars needed a POSIX mount of their own);
 - a filter answers "definitely not seen" / "maybe seen"; the engine routes
   maybe-seen candidates through the EXACT left-anti join against url_seen,
   so filter false positives cost time, never correctness, and the URL-seen
   membership stays exactly reproducible (BASELINE.json:2);
 - filters are maintained INCREMENTALLY: each cycle's url_seen delta is
-  inserted into the previous cycle's filter inside a grouped-map
-  ``applyInPandas`` task (one task per bucket — the same exclusive-ownership
-  sharding as the reference's per-container workers);
-- a cold bucket (no sidecar yet, or a cuckoo filter that overflowed) is
+  inserted into the bucket's previous filter inside a streamed
+  ``mapInPandas`` task (data repartitioned by host_bucket — the same
+  exclusive-ownership sharding as the reference's per-container workers);
+- a cold bucket (no filter row yet, or a cuckoo filter that overflowed) is
   rebuilt from the bucket's FULL url_seen as a bloom filter — fully
   vectorized numpy, no per-item loop — per the north star's "bloom fallback
   for cold partitions";
-- staleness is safe: if the newest sidecar lags the newest url_seen delta,
-  the scheduler exact-joins "definite new" candidates against the missing
-  delta range (scheduler.py split_by_filter call site).
+- carry-forward is LOGICAL, not physical: each cycle's ``filters`` delta
+  holds only the buckets whose url_seen changed; the driver derives a tiny
+  ``bucket -> newest delta cycle`` map from manifest metadata
+  (``filter_locations``) and ships it into the prefilter closure, so an
+  untouched bucket keeps serving its old row with zero bytes copied;
+- staleness is safe: if the newest filter build lags the newest url_seen
+  delta, the scheduler exact-joins "definite new" candidates against the
+  missing delta range (scheduler.py split_by_filter call site).
 
 All bit-twiddling is numpy-vectorized for lookups and bloom builds; only the
 cuckoo insert path walks items (it touches only the small per-cycle delta).
 
-STORAGE SEAM (mirrors TableIO's Iceberg seam): sidecars are .npz files
-under ``io.root/filters/cycle=<k>/`` written by executor tasks and read by
-later tasks — this requires ``io.root`` to be a SHARED filesystem (NFS/
-Lustre/FUSE-mounted object store), the same assumption Spark makes for
-``checkpointLocation``. On local[32] any path works. The carry-forward
-hardlink degrades to a copy across devices (``rebuild_filters``); on a
-store with no POSIX mount, swap ``_sidecar``/``load_filter``/``save`` for a
-parquet-rows representation (bucket, kind, words BINARY) read through the
-SparkSession — the call sites are already isolated behind these three
-functions.
+Executor tasks read filter rows directly with pyarrow (predicate pushdown on
+``host_bucket``); reads go through an LRU cache so one long-lived Python
+worker holds at most _CACHE_CAP deserialized filters regardless of how many
+cycles it serves.
 """
 
 from __future__ import annotations
 
 import os
-import uuid
+from collections import OrderedDict
 
 import numpy as np
 
@@ -48,6 +50,7 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 _SLOTS = 4
 _MAX_KICKS = 500
 _CUCKOO_MAX_ITEMS = 4_000_000  # above this a fresh build uses bloom
+_CACHE_CAP = 128
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -165,11 +168,8 @@ class CuckooFilter:
         hit2 = (t[i2s] == fps[:, None]).any(axis=1)
         return hit1 | hit2
 
-    def save(self, path: str) -> None:
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "wb") as fh:
-            np.savez(fh, kind=np.array(["cuckoo"]), table=self.table)
-        os.rename(tmp, path)
+    def to_row(self) -> dict:
+        return {"kind": "cuckoo", "n_bits": None, "data": self.table.tobytes()}
 
 
 class BloomFilter:
@@ -220,45 +220,101 @@ class BloomFilter:
         hits = ((self.words[idx] >> bit) & np.uint64(1)).astype(bool)
         return hits.all(axis=0)
 
-    def save(self, path: str) -> None:
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "wb") as fh:
-            np.savez(
-                fh,
-                kind=np.array(["bloom"]),
-                words=self.words,
-                n_bits=np.array([self.n_bits]),
-            )
-        os.rename(tmp, path)
+    def to_row(self) -> dict:
+        return {
+            "kind": "bloom",
+            "n_bits": int(self.n_bits),
+            "data": self.words.tobytes(),
+        }
 
 
-def load_filter(path: str):
-    with np.load(path, allow_pickle=False) as z:
-        kind = str(z["kind"][0])
-        if kind == "cuckoo":
-            t = z["table"]
-            return CuckooFilter(t.shape[0], table=t.copy())
-        return BloomFilter(int(z["n_bits"][0]), words=z["words"].copy())
+def filter_from_row(kind: str, n_bits, data: bytes, writable: bool = False):
+    """Deserialize one parquet filter row back into a filter object.
+
+    Read-path callers keep the zero-copy read-only buffer; the incremental
+    upsert (which mutates via insert_many) passes writable=True."""
+    if kind == "cuckoo":
+        t = np.frombuffer(data, dtype=np.uint16).reshape(-1, _SLOTS)
+        return CuckooFilter(t.shape[0], table=t.copy() if writable else t)
+    w = np.frombuffer(data, dtype=np.uint64)
+    return BloomFilter(int(n_bits), words=w.copy() if writable else w)
 
 
-def _sidecar(dir_: str, bucket: int) -> str:
-    return os.path.join(dir_, f"bucket={bucket}.npz")
+# ---------------------------------------------------------------------------
+# parquet-row storage (rides TableIO's layout; executor reads via pyarrow)
+# ---------------------------------------------------------------------------
+
+def _cycle_dir(root: str, cycle: int) -> str:
+    return os.path.join(root, "filters", f"cycle={cycle}")
 
 
-# per-Python-worker sidecar cache for the mapInPandas prefilter; keyed by
-# (cycle-specific dir, bucket) so entries are immutable — a worker holds at
-# most the buckets its batches touched (cap guards pathological reuse)
-_FILTER_CACHE: dict = {}
+def load_bucket_filter(root: str, cycle: int, bucket: int,
+                       writable: bool = False):
+    """Read one bucket's filter row from the cycle's parquet delta (pyarrow
+    dataset read with host_bucket predicate pushdown; `_`-prefixed Spark
+    marker files are ignored by pyarrow's default discovery). Returns None
+    if the bucket has no usable row (overflow marker rows carry data=NULL)."""
+    import pyarrow.dataset as pa_ds
+
+    d = _cycle_dir(root, cycle)
+    if not os.path.isdir(d):
+        return None
+    dset = pa_ds.dataset(d, format="parquet", partitioning="hive")
+    t = dset.to_table(
+        columns=["kind", "n_bits", "data"],
+        filter=(pa_ds.field("host_bucket") == bucket)
+        & pa_ds.field("data").is_valid(),
+    )
+    if t.num_rows == 0:
+        return None
+    return filter_from_row(
+        str(t["kind"][0]),
+        t["n_bits"][0].as_py(),
+        t["data"][0].as_py(),
+        writable=writable,
+    )
 
 
-def _cached_filter(fdir: str, bucket: int):
-    key = (fdir, bucket)
-    if key not in _FILTER_CACHE:
-        if len(_FILTER_CACHE) > 512:
-            _FILTER_CACHE.clear()
-        path = _sidecar(fdir, bucket)
-        _FILTER_CACHE[key] = load_filter(path) if os.path.exists(path) else None
-    return _FILTER_CACHE[key]
+def filter_locations(io, through_cycle: int):
+    """Driver-side: (last_build_cycle, {bucket -> newest delta cycle}) for
+    filters committed ≤ through_cycle. The map is the logical carry-forward:
+    a bucket missing from newer deltas had no url_seen rows since its entry's
+    cycle, so that old row still covers it through last_build_cycle. Cost:
+    manifest JSONs only — no data reads."""
+    last_build = 0
+    loc: dict[int, int] = {}
+    for c in range(through_cycle, 0, -1):
+        m = io.manifest(c)
+        if not m:
+            continue
+        meta = m.get("meta", {})
+        if meta.get("filters") is None:
+            continue
+        if last_build == 0:
+            last_build = c
+        for b in meta.get("filters_buckets", []):
+            loc.setdefault(int(b), c)
+    return last_build, loc
+
+
+# per-Python-worker LRU for the read-only prefilter path; keyed by
+# (root, cycle, bucket) so entries are immutable. Bounded at _CACHE_CAP
+# deserialized filters with true LRU eviction — a long-lived worker serving
+# many cycles never accumulates stale cycle-keyed entries (and never loses
+# its hot set to a blanket clear).
+_FILTER_CACHE: OrderedDict = OrderedDict()
+
+
+def _cached_filter(root: str, cycle: int, bucket: int):
+    key = (root, cycle, bucket)
+    if key in _FILTER_CACHE:
+        _FILTER_CACHE.move_to_end(key)
+        return _FILTER_CACHE[key]
+    f = load_bucket_filter(root, cycle, bucket)
+    _FILTER_CACHE[key] = f
+    while len(_FILTER_CACHE) > _CACHE_CAP:
+        _FILTER_CACHE.popitem(last=False)
+    return f
 
 
 # ---------------------------------------------------------------------------
@@ -267,25 +323,19 @@ def _cached_filter(fdir: str, bucket: int):
 
 def split_by_filter(cand: "DataFrame", io, through_cycle: int, cfg):
     """Split candidates into (definite_new, maybe_seen) using the newest
-    sidecar filters ≤ through_cycle. Exactness-preserving: if filters lag the
+    filter rows ≤ through_cycle. Exactness-preserving: if filters lag the
     url_seen deltas, definite_new is patched with an exact anti-join over the
     missing delta range."""
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from . import schemas
 
-    found = None
-    for c in range(through_cycle, 0, -1):
-        m = io.manifest(c)
-        if m and m.get("meta", {}).get("filters") is not None:
-            found = c
-            break
-    if found is None:
+    last_build, loc = filter_locations(io, through_cycle)
+    if last_build == 0:
         # no filters yet: everything is maybe-seen (plain exact anti-join)
         return cand.limit(0), cand
 
-    fdir = io.filter_dir(found)
+    root = io.root
     out_schema = T.StructType(
         cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
     )
@@ -294,19 +344,20 @@ def split_by_filter(cand: "DataFrame", io, through_cycle: int, cfg):
     # were just hash-partitioned by url_hash (the within-batch dedup agg), so
     # a grouped-map would add a full extra shuffle AND require an entire
     # bucket's candidates in one pandas frame. Instead every task tests its
-    # own Arrow batches, loading whichever buckets' sidecars it touches from
-    # a per-worker cache (sidecars are small; <= n_buckets entries/worker,
-    # cycle-keyed so never stale). Memory stays bounded by the Arrow batch.
+    # own Arrow batches, loading whichever buckets' filter rows it touches
+    # through the per-worker LRU (rows are immutable: cycle-keyed, never
+    # stale). Memory stays bounded by the Arrow batch + _CACHE_CAP filters.
     def check_batches(batches):
         import numpy as _np
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = _np.ones(len(pdf), dtype=bool)  # no sidecar => maybe-seen
+            out = _np.ones(len(pdf), dtype=bool)  # no filter => maybe-seen
             h_all = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
             for b, idx in pdf.groupby("host_bucket").indices.items():
-                f = _cached_filter(fdir, int(b))
+                c = loc.get(int(b))
+                f = _cached_filter(root, c, int(b)) if c is not None else None
                 if f is not None:
                     out[idx] = f.contains_many(h_all[idx])
             pdf = pdf.copy()
@@ -317,73 +368,67 @@ def split_by_filter(cand: "DataFrame", io, through_cycle: int, cfg):
     definite_new = tested.where("NOT maybe_seen").drop("maybe_seen")
     maybe_seen = tested.where("maybe_seen").drop("maybe_seen")
 
-    if found < through_cycle:
+    if last_build < through_cycle:
         # filters are stale: exact-confirm definite_new vs the missing range
         gap = io.read_delta_range(
-            cand.sparkSession, "url_seen", found + 1, through_cycle,
+            cand.sparkSession, "url_seen", last_build + 1, through_cycle,
             schemas.URL_SEEN,
         )
         definite_new = definite_new.join(gap, "url_hash", "left_anti")
     return definite_new, maybe_seen
 
 
-def rebuild_filters(spark, io, cycle: int, cfg) -> int:
-    """Maintain per-bucket sidecars for the url_seen set through `cycle`.
+_FILTER_ROW_SCHEMA_DDL = (
+    "host_bucket INT, kind STRING, n_bits BIGINT, status STRING, data BINARY"
+)
+_ROW_COLS = ["host_bucket", "kind", "n_bits", "status", "data"]
 
-    Incremental: insert this cycle's delta into the previous sidecar.
-    Cold/overflowed buckets rebuild from the bucket's full url_seen (bloom).
-    Untouched buckets carry forward via hardlink. Returns #sidecars present.
+
+def rebuild_filters(spark, io, cycle: int, cfg) -> dict:
+    """Maintain per-bucket filter rows for the url_seen set through `cycle`.
+
+    Incremental: insert this cycle's delta into the bucket's previous filter
+    row. Cold/overflowed buckets rebuild from the bucket's full url_seen
+    (bloom). Untouched buckets carry forward LOGICALLY (filter_locations) —
+    nothing is copied. Returns the manifest meta update:
+    {"filters": total buckets covered, "filters_buckets": written this cycle}.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from . import schemas
 
-    out_dir = io.filter_dir(cycle)
-    os.makedirs(out_dir, exist_ok=True)
-    prev_dir = None
-    prev_found = 0  # newest cycle whose sidecars we extend (0 = none)
-    for c in range(cycle - 1, 0, -1):
-        m = io.manifest(c)
-        if m and m.get("meta", {}).get("filters") is not None:
-            prev_dir = io.filter_dir(c)
-            prev_found = c
-            break
+    prev_found, prev_loc = filter_locations(io, cycle - 1)
+    root = io.root
 
-    # Insert EVERY committed delta the previous sidecars don't cover — not
+    # Insert EVERY committed delta the previous filter rows don't cover — not
     # just this cycle's. A run's final cycle skips the build
-    # (build_filters=False), so after a resume the newest sidecar can lag by
+    # (build_filters=False), so after a resume the newest rows can lag by
     # several cycles; building from read_cycle(cycle) alone would leave the
-    # intervening deltas permanently missing from all later sidecars and
+    # intervening deltas permanently missing from all later filters and
     # misclassify seen URLs as definitely-new (duplicate url_seen rows).
     delta = io.read_delta_range(
         spark, "url_seen", prev_found + 1, cycle, schemas.URL_SEEN
     )
-    res_schema = T.StructType(
-        [
-            T.StructField("host_bucket", T.IntegerType()),
-            T.StructField("status", T.StringType()),
-        ]
-    )
-    from pyspark.sql import functions as F
 
     # Both build stages run as mapInPandas ITERATORS over data repartitioned
     # by host_bucket: a task streams its buckets' rows batch by batch and
     # holds only the filters under construction — never a whole bucket's
     # url_seen in one pandas frame (at 10^10/64 URLs that frame alone is
     # GBs; the bloom being built is ~12 bits/item). Fresh-filter capacities
-    # come from a tiny driver-side count per bucket. Sidecars stay
-    # one-file-per-bucket; if a single bucket's bloom ever outgrows executor
+    # come from a tiny driver-side count per bucket. Rows stay
+    # one-per-bucket; if a single bucket's filter ever outgrows executor
     # memory the seam is (host_bucket, url_hash>>k) sub-shards of the same
-    # .npz layout.
+    # row layout.
     cap = {
         int(r["host_bucket"]): int(r["n"])
         for r in delta.groupBy("host_bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    out_schema = T.StructType.fromDDL(_FILTER_ROW_SCHEMA_DDL)
 
     def upsert_batches(batches):
-        import os as _os
         import pandas as _pd
         import numpy as _np
 
@@ -397,10 +442,9 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> int:
                 st = state.get(b)
                 if st is None:
                     f = None
-                    if prev_dir is not None:
-                        p = _sidecar(prev_dir, b)
-                        if _os.path.exists(p):
-                            f = load_filter(p)
+                    pc = prev_loc.get(b)
+                    if pc is not None:
+                        f = load_bucket_filter(root, pc, b, writable=True)
                     if f is None:
                         n = cap.get(b, len(idx))
                         if n <= _CUCKOO_MAX_ITEMS:
@@ -412,18 +456,29 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> int:
                     st[1] = st[0].insert_many(h_all[idx])
         rows = []
         for b, (f, ok) in state.items():
-            if ok:
-                f.save(_sidecar(out_dir, b))
-            rows.append({"host_bucket": b, "status": "ok" if ok else "overflow"})
-        yield _pd.DataFrame(rows, columns=["host_bucket", "status"])
+            r = f.to_row() if ok else {"kind": None, "n_bits": None, "data": None}
+            r["host_bucket"] = b
+            r["status"] = "ok" if ok else "overflow"
+            rows.append(r)
+        yield _pd.DataFrame(rows, columns=_ROW_COLS)
 
-    results = (
+    upsert_df = (
         delta.select("host_bucket", "url_hash")
         .repartition(cfg.n_buckets, "host_bucket")
-        .mapInPandas(upsert_batches, res_schema)
+        .mapInPandas(upsert_batches, out_schema)
+    )
+    rel = f"filters/cycle={cycle}/stage=upsert"
+    io._write_df(upsert_df, rel)
+    # column pruning: only the tiny status projection is read back, never data
+    statuses = (
+        spark.read.parquet(os.path.join(root, rel))
+        .select("host_bucket", "status")
         .collect()
     )
-    overflow = [r["host_bucket"] for r in results if r["status"] == "overflow"]
+    written = {int(r["host_bucket"]) for r in statuses}
+    overflow = [
+        int(r["host_bucket"]) for r in statuses if r["status"] == "overflow"
+    ]
 
     if overflow:
         full = io.read_appended(spark, "url_seen", cycle, schemas.URL_SEEN)
@@ -454,27 +509,21 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> int:
                     f.insert_many(h_all[idx])
             rows = []
             for b, f in blooms.items():
-                f.save(_sidecar(out_dir, b))
-                rows.append({"host_bucket": b, "status": "bloom"})
-            yield _pd.DataFrame(rows, columns=["host_bucket", "status"])
+                r = f.to_row()
+                r["host_bucket"] = b
+                r["status"] = "bloom"
+                rows.append(r)
+            yield _pd.DataFrame(rows, columns=_ROW_COLS)
 
-        (
+        bloom_df = (
             full.select("host_bucket", "url_hash")
             .repartition(cfg.n_buckets, "host_bucket")
-            .mapInPandas(rebuild_batches, res_schema)
-            .collect()
+            .mapInPandas(rebuild_batches, out_schema)
         )
+        io._write_df(bloom_df, f"filters/cycle={cycle}/stage=bloom")
 
-    # carry forward untouched buckets
-    if prev_dir is not None and os.path.isdir(prev_dir):
-        have = {n for n in os.listdir(out_dir) if n.endswith(".npz")}
-        for n in os.listdir(prev_dir):
-            if n.endswith(".npz") and n not in have:
-                try:
-                    os.link(os.path.join(prev_dir, n), os.path.join(out_dir, n))
-                except OSError:
-                    import shutil
-
-                    shutil.copy2(os.path.join(prev_dir, n), os.path.join(out_dir, n))
-
-    return len([n for n in os.listdir(out_dir) if n.endswith(".npz")])
+    covered = set(prev_loc) | written
+    return {
+        "filters": len(covered),
+        "filters_buckets": sorted(written),
+    }

@@ -613,8 +613,8 @@ class FrontierScheduler:
             # consume it (build_filters=False on a run's final cycle).
             from .membership import rebuild_filters
 
-            n_built = rebuild_filters(spark, io, cycle, cfg)
-            manifest = io.commit_meta_update(cycle, {"filters": n_built})
+            meta_update = rebuild_filters(spark, io, cycle, cfg)
+            manifest = io.commit_meta_update(cycle, meta_update)
             tick("rebuild filters")
 
         lin_rows = io.read_cycle(

@@ -219,14 +219,6 @@ class TableIO:
                 paths.append(os.path.join(self.root, m["tables"][name]))
         return self._union_paths(spark, paths, schema)
 
-    # ---- sidecars (cuckoo filters) ---------------------------------------
-
-    def filter_dir(self, cycle: int) -> str:
-        return os.path.join(self.root, "filters", f"cycle={cycle}")
-
-    def latest_filter_dir(self, through_cycle: int) -> str | None:
-        for c in range(through_cycle, 0, -1):
-            m = self.manifest(c)
-            if m and m.get("meta", {}).get("filters"):
-                return self.filter_dir(c)
-        return None
+    # URL-seen membership filters are ordinary parquet rows under
+    # filters/cycle=<k>/ written through _write_df and located via manifest
+    # meta ("filters", "filters_buckets") — see membership.filter_locations.

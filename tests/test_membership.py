@@ -1,9 +1,16 @@
 """Cuckoo/bloom filter unit tests: zero false negatives (the exactness
-invariant), bounded false positives, save/load round-trip, determinism."""
+invariant), bounded false positives, row-serialization round-trip,
+determinism, and the parquet-native build/carry-forward paths."""
 
 import numpy as np
 
-from frontier_engine.membership import BloomFilter, CuckooFilter, load_filter
+from frontier_engine.membership import (
+    BloomFilter,
+    CuckooFilter,
+    filter_from_row,
+    filter_locations,
+    load_bucket_filter,
+)
 
 
 def _hashes(n, seed=7):
@@ -13,7 +20,7 @@ def _hashes(n, seed=7):
     )
 
 
-def test_cuckoo_no_false_negatives(tmp_path):
+def test_cuckoo_no_false_negatives():
     items = _hashes(50_000)
     f = CuckooFilter.with_capacity(len(items))
     assert f.insert_many(items)
@@ -22,10 +29,9 @@ def test_cuckoo_no_false_negatives(tmp_path):
     probes = _hashes(50_000, seed=99)
     fp_rate = f.contains_many(probes).mean()
     assert fp_rate < 0.02, fp_rate
-    # save/load round-trip preserves answers exactly
-    p = str(tmp_path / "c.npz")
-    f.save(p)
-    g = load_filter(p)
+    # parquet-row round-trip preserves answers exactly
+    r = f.to_row()
+    g = filter_from_row(r["kind"], r["n_bits"], r["data"])
     assert (g.contains_many(probes) == f.contains_many(probes)).all()
     assert g.contains_many(items).all()
 
@@ -44,17 +50,29 @@ def test_cuckoo_overflow_reports_false():
     assert not f.insert_many(items)
 
 
-def test_bloom_no_false_negatives(tmp_path):
+def test_bloom_no_false_negatives():
     items = _hashes(100_000)
     f = BloomFilter.with_capacity(len(items))
     f.insert_many(items)
     assert f.contains_many(items).all()
     probes = _hashes(100_000, seed=5)
     assert f.contains_many(probes).mean() < 0.02
-    p = str(tmp_path / "b.npz")
-    f.save(p)
-    g = load_filter(p)
+    r = f.to_row()
+    g = filter_from_row(r["kind"], r["n_bits"], r["data"])
     assert g.contains_many(items).all()
+
+
+def test_row_roundtrip_writable_copy_isolated():
+    """writable=True must hand back a mutable copy — inserting into it must
+    not corrupt the original serialized bytes."""
+    items = _hashes(1_000)
+    f = CuckooFilter.with_capacity(4_000)
+    f.insert_many(items)
+    r = f.to_row()
+    g = filter_from_row(r["kind"], r["n_bits"], r["data"], writable=True)
+    g.insert_many(_hashes(1_000, seed=3))
+    h = filter_from_row(r["kind"], r["n_bits"], r["data"])
+    assert (h.table == f.table).all()
 
 
 def test_filters_deterministic():
@@ -67,11 +85,12 @@ def test_filters_deterministic():
 
 
 def test_forced_overflow_rebuilds_bloom(spark, tmp_path):
-    """End-to-end rebuild path under a skewed bucket: a cuckoo sidecar sized
+    """End-to-end rebuild path under a skewed bucket: a cuckoo filter sized
     for a small cycle-1 delta must overflow on a huge cycle-2 delta and be
     rebuilt as a bloom over the bucket's FULL url_seen — with zero false
     negatives across both cycles (the exactness invariant), and with the
-    streamed mapInPandas build (bounded per-task memory)."""
+    streamed mapInPandas build (bounded per-task memory). Filters live as
+    parquet rows written through TableIO — no .npz, no os.link."""
     from frontier_engine import membership, schemas
     from frontier_engine.config import EngineConfig
     from frontier_engine.tableio import TableIO
@@ -85,20 +104,73 @@ def test_forced_overflow_rebuilds_bloom(spark, tmp_path):
         )
 
     io.commit(1, {"url_seen": (seen_df(range(1000, 1100), 1, 1), ["host_bucket"])})
-    n = membership.rebuild_filters(spark, io, 1, cfg)
-    io.commit_meta_update(1, {"filters": n})
-    f1 = membership.load_filter(membership._sidecar(io.filter_dir(1), 1))
+    io.commit_meta_update(1, membership.rebuild_filters(spark, io, 1, cfg))
+    f1 = load_bucket_filter(io.root, 1, 1)
     assert f1.kind == "cuckoo"  # small delta -> cuckoo
 
     io.commit(
         2, {"url_seen": (seen_df(range(50_000, 70_000), 1, 2), ["host_bucket"])}
     )
-    n2 = membership.rebuild_filters(spark, io, 2, cfg)
-    io.commit_meta_update(2, {"filters": n2})
-    f2 = membership.load_filter(membership._sidecar(io.filter_dir(2), 1))
+    io.commit_meta_update(2, membership.rebuild_filters(spark, io, 2, cfg))
+    f2 = load_bucket_filter(io.root, 2, 1)
     assert f2.kind == "bloom"  # overflowed cuckoo -> full bloom rebuild
 
     h = np.array(
         list(range(1000, 1100)) + list(range(50_000, 70_000)), dtype=np.uint64
     )
     assert f2.contains_many(h).all()  # no false negatives, ever
+
+
+def test_logical_carry_forward_no_copy(spark, tmp_path):
+    """A bucket untouched at cycle 2 must NOT be rewritten: cycle 2's delta
+    holds only the changed bucket, and filter_locations resolves the
+    untouched bucket back to its cycle-1 row (the logical carry-forward that
+    replaced the round-2 hardlink)."""
+    from frontier_engine import membership, schemas
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    cfg = EngineConfig(n_buckets=4)
+
+    def seen_df(rows, cycle):
+        return spark.createDataFrame(
+            [(int(h), b, cycle) for h, b in rows], schemas.URL_SEEN
+        )
+
+    io.commit(
+        1,
+        {
+            "url_seen": (
+                seen_df([(h, 1) for h in range(100)]
+                        + [(h, 2) for h in range(500, 600)], 1),
+                ["host_bucket"],
+            )
+        },
+    )
+    m1 = membership.rebuild_filters(spark, io, 1, cfg)
+    io.commit_meta_update(1, m1)
+    assert sorted(m1["filters_buckets"]) == [1, 2]
+
+    # cycle 2 touches only bucket 1
+    io.commit(
+        2, {"url_seen": (seen_df([(h, 1) for h in range(200, 250)], 2),
+                         ["host_bucket"])}
+    )
+    m2 = membership.rebuild_filters(spark, io, 2, cfg)
+    io.commit_meta_update(2, m2)
+    assert m2["filters_buckets"] == [1]
+    assert m2["filters"] == 2  # still covers both buckets
+
+    last_build, loc = filter_locations(io, 2)
+    assert last_build == 2
+    assert loc == {1: 2, 2: 1}  # bucket 2 logically carried from cycle 1
+
+    # bucket 2's row never re-written, still answers from cycle 1
+    assert load_bucket_filter(io.root, 2, 2) is None
+    f = load_bucket_filter(io.root, loc[2], 2)
+    assert f.contains_many(np.arange(500, 600, dtype=np.uint64)).all()
+    # bucket 1's cycle-2 row includes both deltas (incremental upsert)
+    g = load_bucket_filter(io.root, loc[1], 1)
+    both = np.array(list(range(100)) + list(range(200, 250)), dtype=np.uint64)
+    assert g.contains_many(both).all()
