@@ -24,11 +24,15 @@ Usage: python bench.py [--full] [--skip-scaling] [--write-md]
 
 The headline is best-of-2 and the scaling levels best-of-2/3 because this
 VM's hypervisor steal produces 2x wall-clock variance on identical runs.
-If the efficiency gate (>=0.80) is missed, the steal-sensitive parallel
-level gets up to 2 extra runs (steal only slows runs, so best-of-more
-converges to true throughput); all wall-clocks incl. extras are reported
-(`adaptive_extra_runs_4N`). FRONTIER_BENCH_SCALING_N overrides the
-scaling-input size (default 4,000,000) for harness testing.
+Adaptive extras are two-sided: if the efficiency gate (>=0.80) is missed,
+the steal-sensitive parallel level gets up to 2 extra runs, and the N=1
+baseline ALSO earns extras whenever its own repeats disagree by >15%
+(a steal-slowed baseline inflates the ratio; retrying it pushes efficiency
+DOWN, the honest direction). Steal only slows runs, so best-of-more
+converges to true throughput; all wall-clocks incl. extras are reported
+(`adaptive_extra_runs_4N`, `adaptive_extra_runs_N`).
+FRONTIER_BENCH_SCALING_N overrides the scaling-input size (default
+8,000,000) for harness testing.
 """
 
 import argparse
@@ -134,15 +138,47 @@ def adaptive_best(best: dict, run_once, below: float, max_extra: int = 2) -> dic
     return best
 
 
+def consistency_best(best: dict, run_once, spread: float = 1.15,
+                     max_extra: int = 2) -> dict:
+    """Up to ``max_extra`` extra runs while the level's own repeats disagree
+    by more than ``spread`` (max/min elapsed). This is the SYMMETRIC guard
+    for the baseline level: a steal-slowed N=1 run silently inflates the
+    N->4N ratio, and the ratio gate alone would never re-measure it. Extra
+    runs can only speed the baseline up, i.e. push efficiency DOWN — the
+    bias-free direction. All wall-clocks stay disclosed.
+
+    "Disagree" compares the two FASTEST runs (a single slow outlier should
+    not force retries forever once two fast runs corroborate each other)."""
+
+    def _disputed(elapsed):
+        fastest, second = sorted(elapsed)[:2]
+        return second > spread * fastest
+
+    extra = 0
+    while _disputed(best["all_elapsed_sec"]) and extra < max_extra:
+        r = run_once()
+        best["all_elapsed_sec"].append(r["elapsed_sec"])
+        if r["elapsed_sec"] < best["elapsed_sec"]:
+            r["all_elapsed_sec"] = best["all_elapsed_sec"]
+            best = r
+        extra += 1
+    best["adaptive_extra_runs"] = extra
+    return best
+
+
 def scaling_evidence(
     n_scaling: int, sfix: str, spc: str, repeats: int,
     run=benchrun_subprocess,
 ) -> dict:
-    """N->4N evidence: best-of per level, plus up to 2 adaptive extra runs
-    of the steal-sensitive parallel level when the 0.80 gate is missed."""
-    # the single-core level is empirically stable (±3%); the parallel
-    # level is steal-sensitive, so it gets the extra repeats
+    """N->4N evidence: best-of per level, plus adaptive extras on BOTH
+    levels — the parallel level when the 0.80 gate is missed, the baseline
+    when its own repeats disagree (see consistency_best)."""
+    # the single-core level is empirically stable (±3%) in quiet windows;
+    # the parallel level is steal-sensitive, so it gets the extra repeats
     lo = best_of(f"local[{SCALING_N}]", sfix, spc, 1, max(2, repeats - 1), run)
+    lo = consistency_best(
+        lo, lambda: run(f"local[{SCALING_N}]", sfix, spc, 1)
+    )
     hi = best_of(f"local[{SCALING_4N}]", sfix, spc, 1, repeats, run)
     hi = adaptive_best(
         hi,
@@ -150,7 +186,6 @@ def scaling_evidence(
         below=0.80 * 4 * lo["urls_per_sec"],
     )
     eff = hi["urls_per_sec"] / (4 * lo["urls_per_sec"])
-    extra_runs = hi["adaptive_extra_runs"]
     return {
         "n_urls": n_scaling,
         "N": SCALING_N,
@@ -161,7 +196,8 @@ def scaling_evidence(
         "elapsed_4N": hi["elapsed_sec"],
         "all_elapsed_N": lo["all_elapsed_sec"],
         "all_elapsed_4N": hi["all_elapsed_sec"],
-        "adaptive_extra_runs_4N": extra_runs,
+        "adaptive_extra_runs_N": lo["adaptive_extra_runs"],
+        "adaptive_extra_runs_4N": hi["adaptive_extra_runs"],
         "efficiency": round(eff, 3),
     }
 

@@ -197,8 +197,14 @@ def canon_host_frame(urls):
             continue
         r = _fast_canon(u)
         if r is None:
-            c = canonicalize(u)
-            h = host_of(c)
+            # hostile/malformed hrefs (e.g. "http://[junk") raise ValueError
+            # in urlsplit — emit (None, None) instead of killing the task;
+            # the ingest step drops null canonicals (refspec mirrors this)
+            try:
+                c = canonicalize(u)
+                h = host_of(c)
+            except ValueError:
+                c = h = None
         else:
             c, h = r
         canons.append(c)

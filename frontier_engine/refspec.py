@@ -158,7 +158,10 @@ def run(
         ttl = cfg.recrawl_after_cycles
         grouped: dict[int, PendingRow] = {}
         for raw, prio, dts in discoveries:
-            c = canonicalize(raw)
+            try:
+                c = canonicalize(raw)
+            except ValueError:  # unparseable href — dropped, like the engine
+                continue
             h = xxhash64_str(c)
             host = host_of(c)
             bucket = pmod_bucket(host, cfg.n_buckets)

@@ -276,6 +276,7 @@ class FrontierScheduler:
                 F.col("priority").cast("int").alias("priority"),
                 "discovered_ts",
             )
+            .where(F.col("url_canon").isNotNull())  # unparseable hrefs drop
             .withColumn("url_hash", F.xxhash64("url_canon"))
             .withColumn("host_bucket", _bucket(F.col("host"), cfg.n_buckets))
         )

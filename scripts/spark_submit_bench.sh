@@ -10,17 +10,23 @@ FIXTURE="${2:-$REPO/.bench_cache/n20000}"
 PAGES="${3:-$FIXTURE/pages_canon}"
 CYCLES="${4:-1}"
 
-# generate the fixture (and its bucketed corpus) if absent
+# generate the fixture (and its bucketed corpus) if absent; autogen only
+# knows how to build the cache-dir naming scheme n<NUM>
 python - "$FIXTURE" <<'EOF'
-import os, sys
+import os, re, sys
 fix = sys.argv[1]
 if not os.path.exists(os.path.join(fix, "pages_canon")):
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(fix))))
-    repo = os.environ.get("REPO", os.getcwd())
-    sys.path.insert(0, repo)
+    base = os.path.basename(fix.rstrip("/"))
+    m = re.fullmatch(r"n(\d+)", base)
+    if m is None:
+        sys.exit(
+            f"fixture {fix} is missing pages_canon and is not an "
+            f"autogeneratable n<NUM> cache dir — build it explicitly "
+            f"(bench.ensure_corpus)"
+        )
+    sys.path.insert(0, os.environ.get("REPO", os.getcwd()))
     from bench import ensure_corpus
-    n = int(os.path.basename(fix.rstrip("/")).lstrip("n"))
-    ensure_corpus(n)
+    ensure_corpus(int(m.group(1)))
 EOF
 
 ZIP=/tmp/frontier_engine_pyfiles.zip

@@ -71,6 +71,30 @@ def test_scaling_adaptive_retry_recovers_from_steal():
     assert sc["all_elapsed_4N"] == [42.0, 45.0, 30.0]
 
 
+def test_baseline_consistency_retry_deflates_efficiency():
+    """A steal-slowed N=1 baseline inflates efficiency; the symmetric guard
+    must re-measure it when its own repeats disagree >15%, pushing the
+    ratio DOWN (the honest direction)."""
+    # lo runs disagree (130 vs 100): one extra granted, it lands at 95
+    # -> baseline tput rises, eff drops below the gate honestly
+    run = _runner(
+        {"local[1]": [130.0, 100.0, 95.0], "local[4]": [32.0, 33.0, 31.5, 31.0]}
+    )
+    sc = bench.scaling_evidence(1_000_000, "f", "p", 2, run)
+    assert sc["adaptive_extra_runs_N"] == 1
+    assert sc["elapsed_N"] == 95.0
+    assert sc["all_elapsed_N"] == [130.0, 100.0, 95.0]
+    # eff computed against the RETRIED baseline: (1M/31) / (4 * 1M/95)
+    assert abs(sc["efficiency"] - round(95.0 / (4 * 31.0), 3)) < 1e-9
+
+
+def test_baseline_consistent_runs_get_no_extras():
+    run = _runner({"local[1]": [100.0, 104.0], "local[4]": [30.0, 29.0]})
+    sc = bench.scaling_evidence(1_000_000, "f", "p", 2, run)
+    assert sc["adaptive_extra_runs_N"] == 0
+    assert sc["all_elapsed_N"] == [100.0, 104.0]
+
+
 def test_scaling_adaptive_retry_caps_at_two_and_keeps_best():
     # hi stays slow: exactly 2 extras, best-of-4 kept, honest eff < 0.80
     run = _runner(

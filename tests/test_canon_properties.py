@@ -138,3 +138,19 @@ def test_canon_host_frame_adversarial():
             continue
         assert c == canonicalize(u), (u, c, canonicalize(u))
         assert h == host_of(c), u
+
+
+def test_canon_host_frame_hostile_hrefs_dropped():
+    """Malformed URLs that make urlsplit raise ValueError (bad IPv6-ish
+    netlocs) must yield (None, None) — one hostile discovered href must not
+    kill the whole pandas-UDF task. Refspec mirrors the drop."""
+    import pandas as pd
+
+    from frontier_engine.canon import canon_host_frame
+
+    hostile = ["http://[junk", "http://[::1", "https://[abc]def/p"]
+    good = "https://ok.com/p"
+    got = canon_host_frame(pd.Series(hostile + [good], dtype=object))
+    for i in range(len(hostile)):
+        assert got["url_canon"][i] is None and got["host"][i] is None
+    assert got["url_canon"][len(hostile)] == good
