@@ -62,6 +62,11 @@ class EngineConfig:
     # language ID / MinHash-LSH near-dup group). Off by default: it is
     # value-add output beyond the frontier metric, not cycle bookkeeping.
     enrich_pages: bool = False
+    # commit a per-cycle ann_index table (corpus.ann_enrich over the cycle's
+    # successfully fetched pages: deterministic hashed-word embedding +
+    # hyperplane-LSH cell, partitioned by cell so similarity search over the
+    # engine's own corpus probes one partition-pruned cell, not the corpus).
+    ann_index: bool = False
 
     def budget_of(self, host: str) -> int:
         return self.budgets.get(host, self.default_budget)

@@ -30,11 +30,18 @@ handlers, base_handler.py ≈L48); this is the north-star "what a 100-TB
 training-data pipeline needs" surface built on the same engine tables.
 """
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_PERM = 8   # minhash permutations
 N_BANDS = 4  # bands of 2 rows each
+
+# deterministic text-embedding + hyperplane-LSH cell (the ANN index stage)
+EMB_DIM = 16   # hashed-word feature dims (md5 first hex char)
+N_HYPER = 4    # hyperplanes -> 2^N_HYPER coarse cells
+_HEXD = "0123456789abcdef"
 
 
 def _shingles(text_col):
@@ -105,3 +112,93 @@ def enrich(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .withColumn("nd_group", F.coalesce("nd_group", idc.cast("long")))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index stage: deterministic hashed-word embedding + hyperplane-LSH cell.
+#
+# No embedding model ships in this sandbox, so the embedding is FEATURE
+# HASHING (a real, public technique — "hashing trick"): dim(w) = first md5
+# hex char of the word (16 dims), sign(w) = second hex char < '8' (+1/-1),
+# emb[i] = signed count of the words hashing to dim i. It is deterministic,
+# pure JVM built-ins, and — crucially — exactly reproducible in pure Python
+# (the golden twin) and in DuckDB (the driver oracle).
+#
+# The coarse ANN partitioning is hyperplane LSH over that embedding: N_HYPER
+# fixed ±1 hyperplanes (md5-derived, embedded as literals in the plan and
+# the oracle SQL), cell = the sign-bit integer. At scale the committed
+# ann_index table is partitioned by cell, so a query vector probes one cell
+# (or a few neighboring ones) with a partition-pruned scan — never the full
+# corpus. Per-row cost is O(EMB_DIM * n_words) inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+def hyperplane_weights() -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix (N_HYPER x EMB_DIM): weight j,i =
+    +1 iff md5("hp{j}|{i}") starts with hex 0-7. Computed driver-side once;
+    inlined as literals into the Spark plan and the DuckDB oracle."""
+    w = []
+    for j in range(N_HYPER):
+        row = []
+        for i in range(EMB_DIM):
+            h = hashlib.md5(f"hp{j}|{i}".encode("utf-8")).hexdigest()
+            row.append(1.0 if h[0] in "01234567" else -1.0)
+        w.append(row)
+    return w
+
+
+def _emb_dims(text_col):
+    """EMB_DIM signed-count columns (feature hashing over words)."""
+    words = F.split(text_col, " ")
+
+    # NOTE: pyspark higher-order fns pass (element, index) to 2-arg lambdas,
+    # so the dim must be captured via a closure factory, not a default arg
+    def dim_pred(hexc):
+        return lambda w: F.substring(F.md5(w), 1, 1) == hexc
+
+    dims = []
+    for i in range(EMB_DIM):
+        in_dim = F.filter(words, dim_pred(_HEXD[i]))
+        pos = F.size(
+            F.filter(in_dim, lambda w: F.substring(F.md5(w), 2, 1) < "8")
+        )
+        dims.append((2 * pos - F.size(in_dim)).cast("double"))
+    return dims
+
+
+def ann_enrich(df: DataFrame, text_col: str) -> DataFrame:
+    """Append `emb` (array<double>, EMB_DIM dims) and `cell` (int,
+    hyperplane-LSH bucket) to ``df``. One projection, no shuffle."""
+    dims = _emb_dims(F.col(text_col))
+    w = hyperplane_weights()
+    cell = None
+    for j in range(N_HYPER):
+        proj = None
+        for i in range(EMB_DIM):
+            term = dims[i] if w[j][i] > 0 else -dims[i]
+            proj = term if proj is None else proj + term
+        bit = (proj > 0).cast("int") * (1 << j)
+        cell = bit if cell is None else cell + bit
+    return df.select(
+        "*", F.array(*dims).alias("emb"), cell.cast("int").alias("cell")
+    )
+
+
+def embed_py(text: str) -> list[float]:
+    """Pure-Python twin of _emb_dims (golden tests; refspec-style parity)."""
+    dims = [0.0] * EMB_DIM
+    for w in text.split(" "):
+        h = hashlib.md5(w.encode("utf-8")).hexdigest()
+        i = _HEXD.index(h[0])
+        dims[i] += 1.0 if h[1] < "8" else -1.0
+    return dims
+
+
+def cell_py(emb: list[float]) -> int:
+    """Pure-Python twin of the hyperplane-LSH cell."""
+    w = hyperplane_weights()
+    cell = 0
+    for j in range(N_HYPER):
+        proj = sum(e * wj for e, wj in zip(emb, w[j]))
+        if proj > 0:
+            cell |= 1 << j
+    return cell

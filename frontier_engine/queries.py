@@ -1175,6 +1175,65 @@ SQL_ANN_IVF_TOPK = (
 )
 
 
+def q_ann_index_cells(spark, sf_dir):
+    """The engine's ANN-index stage (corpus.ann_enrich — the EXACT transform
+    the scheduler commits per cycle as the ann_index table, cfg.ann_index)
+    applied to the documents fixture where DuckDB can check it: feature-
+    hashed word embedding (md5 dims/signs) + hyperplane-LSH cell, plus L1
+    norm and non-zero dim count as scalar value coverage (the raw emb array
+    is not driver-hashable)."""
+    from .corpus import ann_enrich
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ann_enrich(d, "text")
+    l1 = F.aggregate("emb", F.lit(0.0), lambda a, x: a + F.abs(x))
+    nnz = F.size(F.filter("emb", lambda x: x != 0))
+    return out.select(
+        "doc_id",
+        F.col("cell").cast("long").alias("cell"),
+        l1.cast("long").alias("emb_l1"),
+        nnz.cast("long").alias("emb_nnz"),
+    )
+
+
+def _sql_ann_index_cells() -> str:
+    """DuckDB twin of corpus.ann_enrich, generated with the same EMB_DIM /
+    hyperplane-weight literals the Spark plan uses."""
+    from .corpus import EMB_DIM, N_HYPER, _HEXD, hyperplane_weights
+
+    def dim_expr(i):
+        base = (
+            "list_filter(string_split(text, ' '), "
+            f"w -> substr(md5(w), 1, 1) = '{_HEXD[i]}'"
+        )
+        return (
+            f"(len({base} AND substr(md5(w), 2, 1) < '8')) - "
+            f"len({base} AND substr(md5(w), 2, 1) >= '8')))"
+        )
+
+    dims = ", ".join(f"{dim_expr(i)} AS e{i}" for i in range(EMB_DIM))
+    w = hyperplane_weights()
+    bits = []
+    for j in range(N_HYPER):
+        proj = " + ".join(
+            (f"e{i}" if w[j][i] > 0 else f"-e{i}") for i in range(EMB_DIM)
+        )
+        bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END)")
+    l1 = " + ".join(f"abs(e{i})" for i in range(EMB_DIM))
+    nnz = " + ".join(
+        f"(CASE WHEN e{i} <> 0 THEN 1 ELSE 0 END)" for i in range(EMB_DIM)
+    )
+    return (
+        f"WITH e AS (SELECT doc_id, {dims} FROM documents) "
+        f"SELECT doc_id, CAST({' + '.join(bits)} AS BIGINT) AS cell, "
+        f"CAST({l1} AS BIGINT) AS emb_l1, CAST({nnz} AS BIGINT) AS emb_nnz "
+        "FROM e"
+    )
+
+
+SQL_ANN_INDEX_CELLS = _sql_ann_index_cells()
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: token counts, avg token length, stopword ratio."""
     d = _t(spark, sf_dir, "documents")
@@ -1553,6 +1612,7 @@ REGISTRY: dict = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_lsh_topk_batch": (q_ann_lsh_topk_batch, SQL_ANN_LSH_TOPK_BATCH),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_index_cells": (q_ann_index_cells, SQL_ANN_INDEX_CELLS),
     "embedding_near_dup_pairs": (
         q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS,
     ),

@@ -407,8 +407,8 @@ class FrontierScheduler:
             )
             .withColumn("links", F.col("_h.links"))
         )
-        if cfg.enrich_pages:
-            # keep the extracted text ONLY for the enrichment stage below
+        if cfg.enrich_pages or cfg.ann_index:
+            # keep the extracted text ONLY for the enrichment stages below
             fetched = fetched.withColumn("_text", F.col("_h.extracted"))
         # drop page bodies IMMEDIATELY — nothing downstream shuffles html
         fetched = fetched.drop("html", "text", "page_canon", "_h")
@@ -580,6 +580,23 @@ class FrontierScheduler:
             tables["page_stats"] = (
                 pstats.repartition(cfg.n_buckets, "host_bucket"),
                 ["host_bucket"],
+            )
+
+        if cfg.ann_index:
+            # ANN index over this cycle's fetched corpus: the SAME transform
+            # the driver's ann_index_cells query oracle-checks
+            # (corpus.ann_enrich) — deterministic hashed-word embedding +
+            # hyperplane-LSH cell, all JVM built-ins, one projection.
+            # Partitioned by cell: a similarity probe over the engine's own
+            # corpus is a partition-pruned scan of one (or a few) cells.
+            from .corpus import N_HYPER, ann_enrich
+
+            aidx = ann_enrich(
+                done.select("url_hash", "host_bucket", "_text"), "_text"
+            ).select(*schemas.ANN_INDEX.fieldNames())
+            tables["ann_index"] = (
+                aidx.repartition(1 << N_HYPER, "cell"),
+                ["cell"],
             )
 
         meta = {}

@@ -56,6 +56,15 @@ PAGE_STATS = T.StructType(
     ]
 )
 
+ANN_INDEX = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host_bucket", T.IntegerType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("emb", T.ArrayType(T.DoubleType())),
+    ]
+)
+
 LINEAGE = T.StructType(
     [
         T.StructField("cycle", T.IntegerType()),

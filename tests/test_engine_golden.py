@@ -259,6 +259,44 @@ def test_page_stats_enrichment_golden(spark, tiny_fixture_dir, tmp_path_factory)
         assert r["nd_group"] == want_nd, uid
 
 
+def test_ann_index_golden(spark, tiny_fixture_dir, tmp_path_factory):
+    """cfg.ann_index commits a per-cycle ann_index table (the similarity-
+    search stage over the engine's own fetched corpus): every row's feature-
+    hashed embedding and hyperplane-LSH cell must equal the pure-Python twin
+    exactly, the table must be cell-partitioned on disk (partition-pruned
+    probes), and it must cover exactly the cycle's fetched-ok pages."""
+    import dataclasses
+
+    from frontier_engine import schemas
+    from frontier_engine.corpus import N_HYPER, cell_py, embed_py
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(config_for_fixture(fix), ann_index=True)
+    work = str(tmp_path_factory.mktemp("engine-ann"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=1)
+
+    rows = eng.io.read_cycle(
+        spark, "ann_index", 1, schemas.ANN_INDEX
+    ).collect()
+    assert len(rows) > 30
+    texts = {
+        r["url_hash"]: r["text"]
+        for r in eng._pages_canon().select("url_hash", "text").collect()
+    }
+    seen_cells = set()
+    for r in rows:
+        want_emb = embed_py(texts[r["url_hash"]])
+        assert list(r["emb"]) == want_emb, r["url_hash"]
+        assert r["cell"] == cell_py(want_emb), r["url_hash"]
+        seen_cells.add(r["cell"])
+    assert all(0 <= c < (1 << N_HYPER) for c in seen_cells)
+    # hive cell-partitioned layout on disk (partition pruning for probes)
+    m = eng.io.manifest(1)
+    tdir = os.path.join(eng.io.root, m["tables"]["ann_index"])
+    assert any(n.startswith("cell=") for n in os.listdir(tdir))
+
+
 def test_extraction_byte_identity(spark, tiny_fixture_dir, golden):
     """BASELINE.json:15 per-row invariant: UDF-extracted text equals the
     stored text column byte-for-byte for EVERY url."""
