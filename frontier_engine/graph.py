@@ -1,0 +1,101 @@
+"""Distributed connected components: alternating large-star/small-star.
+
+The O(log n)-round contraction of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (public algorithm) — the scale path for near-dup
+closure when component diameters are large. Plain min-label propagation
+(the previous q_neardup_components loop) needs O(diameter) rounds: fine for
+dense LSH dup-clusters, pathological for chain-shaped graphs. Star
+contraction halves chain depth every pair of passes, so a 10^6-long chain
+closes in ~40 shuffles instead of 10^6.
+
+Semantics per round over a canonically-oriented edge set (u > v):
+- large-star: for every node's symmetric neighborhood, connect each
+  strictly-larger neighbor to the neighborhood minimum (incl. the center).
+- small-star: for every center u of the (larger -> smaller) orientation,
+  connect u and all its smaller neighbors to their minimum.
+Both preserve connectivity exactly (each emitted edge stays within the
+component; every old edge is implied transitively); at the fixpoint the
+graph is a star forest rooted at each component's minimum id.
+
+Everything is DataFrame groupBy/join — two shuffles per pass, edge-set
+sized O(|E|) state, no driver-side data. Convergence is detected with a
+symmetric exceptAll emptiness check (exact, not a checksum heuristic).
+
+Iterative-Spark essentials baked in: each round's edge set is
+``localCheckpoint``-ed (eager), truncating the logical plan — persist()
+alone caches DATA but Catalyst still re-analyzes the whole accumulated
+lineage every round, which goes quadratic in the round count. On a real
+cluster swap localCheckpoint for reliable ``checkpoint`` (localCheckpoint
+data dies with an executor; the round restarts from the last checkpoint).
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonical undirected edges: u = max, v = min, self-loops dropped."""
+    return (
+        df.where(F.col(a) != F.col(b))
+        .select(
+            F.greatest(a, b).alias("u"), F.least(a, b).alias("v")
+        )
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """(components, rounds): components = [id, comp] with comp = the
+    component's minimum vertex id; rounds = star-contraction rounds run
+    (O(log n) — pinned by the chain-fixture test). ``edges`` needs columns
+    (src, dst); ``vertices`` one column ``id`` (singletons keep comp=id)."""
+    e = _canon(edges, "src", "dst").localCheckpoint()
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star over symmetric neighborhoods
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(lmins, "u")
+            .where("v > u")
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        )
+        e2 = _canon(large, "src", "dst")
+        # small-star over the (larger -> smaller) orientation: every smaller
+        # neighbor v < u, so min(neighbors ∪ {u}) = min(v)
+        smins = e2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e2.join(smins, "u")
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                smins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+            )
+        )
+        new_e = _canon(small, "src", "dst").localCheckpoint()
+        changed = (
+            new_e.exceptAll(e)
+            .unionByName(e.exceptAll(new_e))
+            .limit(1)
+            .count()
+        )
+        e = new_e
+        if changed == 0:
+            break
+    # star forest: every non-root points at its component min; roots and
+    # singletons never appear on the u side
+    comp = (
+        vertices.select(F.col("id"))
+        .join(e.select(F.col("u").alias("id"), F.col("v").alias("c")), "id",
+              "left")
+        .select("id", F.coalesce("c", F.col("id")).alias("comp"))
+    )
+    return comp, rounds

@@ -589,51 +589,28 @@ def q_neardup_components(spark, sf_dir):
     """Connected components over the MinHash-LSH candidate graph — the
     full transitive closure that the engine's page_stats stage
     (corpus.py nd_group) deliberately truncates to one hop. This is the
-    repo's iterative-algorithm operator: min-label propagation,
-    ``comp(v) <- min(comp(v), min comp over v's neighbors)``, repeated
-    to a fixpoint. Each round is one join + one min-aggregation (two
-    shuffles); rounds needed = component diameter, which for LSH
-    near-dup graphs is tiny (dup clusters are dense). If diameters ever
-    grew, the O(log n)-round large-star/small-star contraction is the
-    drop-in upgrade — same driver-loop skeleton. Exactly oracle-checked
-    by a recursive reachability CTE in DuckDB (min reachable id ==
-    component id on a symmetric edge set). Singletons keep comp=doc_id.
+    repo's iterative-algorithm operator: alternating large-star/small-star
+    contraction (graph.connected_components_star), which converges in
+    O(log n) rounds even on chain-shaped components — the round-2
+    min-label-propagation loop needed O(diameter) rounds, fine for dense
+    LSH dup-clusters but pathological on long chains (pinned by the
+    adversarial chain fixture in tests/test_graph.py). Exactly
+    oracle-checked by a recursive reachability CTE in DuckDB (min
+    reachable id == component id on a symmetric edge set). Singletons
+    keep comp=doc_id.
 
-    Scale notes: `comp` is (id, comp) longs only — tiny vs the corpus;
-    the LSH edge set is band-bucket bounded (never all-pairs); per-round
-    frames are persisted and the previous round unpersisted, so lineage
-    and memory stay O(1) across iterations."""
+    Scale notes: per-round state is the edge set only (two long columns,
+    band-bucket bounded — never all-pairs); each pass is one groupBy +
+    one join; frames are persisted per round and the previous round
+    unpersisted, so lineage and memory stay O(1) across iterations."""
+    from .graph import connected_components_star
+
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
-    edges = (
-        pairs.union(pairs.select(F.col("b"), F.col("a")))
-        .toDF("src", "dst")
-        .persist()
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    vertices = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
     )
-    comp = (
-        _t(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
-        .persist()
-    )
-    for _ in range(25):  # safety bound; fixpoint is reached in O(diameter)
-        msgs = edges.join(comp, edges.src == comp.id).select(
-            F.col("dst").alias("id"), F.col("comp")
-        )
-        new_comp = (
-            comp.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .persist()
-        )
-        changed = (
-            new_comp.join(comp.withColumnRenamed("comp", "old"), "id")
-            .where("comp != old")
-            .count()
-        )
-        comp.unpersist()
-        comp = new_comp
-        if changed == 0:
-            break
-    edges.unpersist()
+    comp, _rounds = connected_components_star(edges, vertices)
     return comp.select(F.col("id").alias("doc_id"), "comp")
 
 

@@ -103,3 +103,44 @@ def test_rows_only_queries_run(spark, name):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_url_hash_keys_duckdb_udf_oracle(spark):
+    """Exact local oracle for the driver's rows-only url_hash_keys entry:
+    register the pure-Python xxhash64 twin (xxh.xxhash64_str, verified
+    against Spark's xxhash64 elsewhere) as a DuckDB scalar UDF and compare
+    every column — the driver stays rows-only (no portable SQL for
+    xxhash64), but locally the check is exact."""
+    import duckdb
+
+    from frontier_engine.xxh import xxhash64_str
+
+    fn, _ = _registry()["url_hash_keys"]
+    srows = sorted(
+        tuple(r) for r in fn(spark, SF_DIR)
+        .select("doc_id", "url_canon", "url_hash", "host_bucket")
+        .collect()
+    )
+    c = duckdb.connect()
+    c.create_function("xxh64", lambda s: xxhash64_str(s),
+                      ["VARCHAR"], "BIGINT")
+    c.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    drows = sorted(
+        tuple(r)
+        for r in c.sql(
+            """
+            WITH u AS (
+              SELECT doc_id,
+                'https://host' || (doc_id % 20) || '.example.com/d/' || doc_id
+                  AS url_canon
+              FROM documents)
+            SELECT doc_id, url_canon, xxh64(url_canon) AS url_hash,
+                   CAST(((xxh64(url_canon) % 64) + 64) % 64 AS INT)
+                     AS host_bucket
+            FROM u
+            """
+        ).fetchall()
+    )
+    assert srows == drows

@@ -184,6 +184,53 @@ def test_error_backoff_golden(spark, tiny_fixture_dir, tmp_path_factory):
     assert probs == [], "\n".join(probs)
 
 
+def test_backoff_with_ttl_golden(spark, tiny_fixture_dir, tmp_path_factory):
+    """recrawl_after_cycles AND error_backoff_pct together: both features
+    mutate scheduling state across cycles (TTL re-admits expired URLs;
+    backoff halves budgets off last cycle's host_stats), so their
+    interaction — a recrawled URL landing on a host in backoff — is the
+    combinatorial hole a per-feature golden can't cover. 6-cycle Spark
+    trace must exactly equal refspec running both, and both features must
+    genuinely fire (non-vacuity guards)."""
+    import dataclasses
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix),
+        recrawl_after_cycles=2,
+        compact_every=2,
+        error_backoff_pct=10,
+    )
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+
+    ref_both = run(pages, seeds, robots, cfg, cycles=6)
+    # non-vacuity: backoff changes the trace vs TTL-only...
+    ref_ttl_only = run(
+        pages, seeds, robots,
+        dataclasses.replace(cfg, error_backoff_pct=None), cycles=6,
+    )
+    assert any(
+        ref_both.scheduled[k] != ref_ttl_only.scheduled[k]
+        for k in range(1, 7)
+    ), "backoff never fired alongside TTL — test would be vacuous"
+    # ...and TTL changes it vs backoff-only
+    ref_backoff_only = run(
+        pages, seeds, robots,
+        dataclasses.replace(cfg, recrawl_after_cycles=None), cycles=6,
+    )
+    assert any(
+        ref_both.scheduled[k] != ref_backoff_only.scheduled[k]
+        for k in range(1, 7)
+    ), "TTL never fired alongside backoff — test would be vacuous"
+
+    work = str(tmp_path_factory.mktemp("engine-ttl-backoff"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=6)
+    st = spark_trace(spark, eng.io, range(1, 7))
+    probs = diff_traces(st, ref_trace(ref_both))
+    assert probs == [], "\n".join(probs)
+
+
 def test_page_stats_enrichment_golden(spark, tiny_fixture_dir, tmp_path_factory):
     """cfg.enrich_pages commits a page_stats table per cycle (the
     training-data stage over the engine's own fetched corpus). Every column
