@@ -91,13 +91,18 @@ def ensure_corpus(n_urls: int) -> tuple[str, str]:
     return fix, pc
 
 
-def benchrun_subprocess(master: str, fix: str, pc: str, cycles: int) -> dict:
+def benchrun_subprocess(
+    master: str, fix: str, pc: str, cycles: int,
+    default_budget: int | None = None,
+) -> dict:
     """One fresh-JVM bench run; returns the parsed BENCHJSON dict."""
     cmd = [
         sys.executable, "-m", "frontier_engine.benchrun",
         "--master", master, "--fixture", fix, "--pages-canon", pc,
         "--cycles", str(cycles),
     ]
+    if default_budget is not None:
+        cmd += ["--default-budget", str(default_budget)]
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
     )
@@ -256,6 +261,19 @@ def main() -> None:
         )
     frontier["headline"] = head
 
+    # 1b. bounded-budget variant: same corpus, default_budget=50 — budgets
+    # below benchrun's unbounded threshold turn ON the two-phase salted
+    # politeness window (politeness_salt=8), so the flagship skew machinery
+    # runs UNDER BENCH LOAD here, not only in unit tests. Throughput is not
+    # comparable to the headline (bounded budgets defer most of the
+    # frontier by design); the number reported is the window's cost.
+    salted = best_of(
+        f"local[{cpus}]", fix, pc, cycles=3, repeats=2,
+        run=lambda m, f, p, c: benchrun_subprocess(m, f, p, c,
+                                                   default_budget=50),
+    )
+    frontier["salted_window"] = salted
+
     # 2. scaling evidence N -> 4N
     if not args.skip_scaling:
         sfix, spc = ensure_corpus(n_scaling)
@@ -280,6 +298,24 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _latest_driver_artifact() -> tuple[str, dict] | None:
+    """Newest BENCH_r{N}.json — the DRIVER's authoritative measurement."""
+    import glob
+    import re
+
+    best = None
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    with open(best[1]) as f:
+        data = json.load(f)
+    # the driver wraps the bench JSON line under "parsed"
+    return os.path.basename(best[1]), data.get("parsed", data)
+
+
 def write_md(result: dict) -> None:
     fr = result["frontier"]
     head = fr["headline"]
@@ -287,6 +323,31 @@ def write_md(result: dict) -> None:
     lines = [
         "# BENCH — measured frontier-engine numbers",
         "",
+    ]
+    art = _latest_driver_artifact()
+    if art is not None:
+        name, a = art
+        a_sc = a.get("frontier", {}).get("scaling", {})
+        lines += [
+            f"## Authoritative numbers: driver artifact `{name}`",
+            "",
+            "The per-round driver run is the primary citation; the",
+            "builder-side numbers below it are the same suite re-run while",
+            "iterating (differences are hypervisor-steal window noise,",
+            "documented under Methodology).",
+            "",
+            f"- headline: **{a.get('value'):,} URLs/s**"
+            f" (crawl_3cycles {a.get('queries', {}).get('crawl_3cycles')} s,"
+            f" sf={a.get('sf')})",
+        ]
+        if a_sc:
+            lines.append(
+                f"- scaling efficiency N->4N: **{a_sc.get('efficiency')}**"
+                f" (tput local[{a_sc.get('N')}]={a_sc.get('tput_N'):,},"
+                f" local[{a_sc.get('4N')}]={a_sc.get('tput_4N'):,} URLs/s)"
+            )
+        lines.append("")
+    lines += [
         "Produced by `python bench.py --write-md`. Methodology notes:",
         "",
         "- Timed region = the cycle loop only (JVM startup, fixture",
@@ -318,6 +379,21 @@ def write_md(result: dict) -> None:
         f" fetched_ok={head['fetched_ok']:,} errors={head['errors']:,}",
         "",
     ]
+    sw = fr.get("salted_window")
+    if sw:
+        lines += [
+            "## Bounded-budget variant (two-phase salted politeness window",
+            "under load: default_budget=50 -> politeness_salt=8)",
+            "",
+            f"- same corpus, 3 cycles: elapsed {sw['elapsed_sec']} s,"
+            f" {sw['urls_per_sec']:,} URLs/s"
+            f" (runs {sw['all_elapsed_sec']})",
+            f"- enqueued={sw['enqueued']:,} deduped={sw['deduped']:,}"
+            " (bounded budgets defer most of the frontier by design —",
+            "  this measures the two-phase window's cost, not headline",
+            "  throughput)",
+            "",
+        ]
     if sc:
         lines += [
             "## Scaling efficiency N -> 4N (same job, same input, only the",

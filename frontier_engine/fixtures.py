@@ -62,8 +62,12 @@ class FixtureConfig:
     # ---- per-row pure functions -------------------------------------
 
     def host_idx(self, i: int) -> int:
-        if self.skew and i % 10 < 3:  # 30% of URLs on host0 (skew fixture)
-            return 0
+        # skew fixture: 30% of URLs on host1 — deliberately NOT host0,
+        # whose robots row disallows /p/ (h%11==0): a robots-blocked hot
+        # host never reaches the politeness window, so host0 skew would
+        # exercise only the bucket write path, not the window/auto-salt
+        if self.skew and i % 10 < 3:
+            return 1
         return i % self.n_hosts
 
     def host(self, i: int) -> str:

@@ -214,10 +214,44 @@ class FrontierScheduler:
             self.spark, "discoveries", cycle - 1, schemas.DISCOVERIES
         )
 
+    def _auto_salt(self, cycle: int) -> int:
+        """Physical salt from OBSERVED skew (cfg.auto_salt): the previous
+        cycle records the hottest single host's share of the eligible
+        frontier in its manifest meta (two scalars from one partial-agg
+        job over the already-persisted ranked frame — no extra frontier
+        scan). Share is scale-free: one host owning >= 10% of a frontier
+        is exactly the skew the two-phase window and salted queue write
+        fight, at 2k URLs or 10^10. salt = next_pow2(share * 32) capped
+        at 16 (the window's survivor bound is salt * budget per host).
+        Deterministic given committed history -> resumes pick the same
+        salt."""
+        if cycle <= 1:
+            return 1
+        m = self.io.manifest(cycle - 1) or {}
+        meta = m.get("meta", {})
+        hottest = meta.get("host_depth_max", 0)
+        total = meta.get("host_depth_total", 0)
+        if not total or not hottest:
+            return 1
+        share = hottest / total
+        # both gates must fire: share (is one host dominating?) AND an
+        # absolute depth floor (a window over <= 8 x budget rows is cheap
+        # regardless of share — tiny frontiers make share pure noise)
+        if share < 0.10 or hottest < 8 * self.cfg.default_budget:
+            return 1
+        p = 1
+        while p < share * 32:
+            p <<= 1
+        return min(16, p)
+
     # -- the cycle ---------------------------------------------------------
 
     def run_cycle(self, cycle: int, build_filters: bool = True) -> CycleResult:
         spark, io, cfg = self.spark, self.io, self.cfg
+        if cfg.auto_salt:
+            politeness_salt = salt_factor = self._auto_salt(cycle)
+        else:
+            politeness_salt, salt_factor = cfg.politeness_salt, cfg.salt_factor
         import time as _time
 
         _timing = os.environ.get("FRONTIER_TIMING") == "1"
@@ -374,7 +408,7 @@ class FrontierScheduler:
             ).unionByName(halved)
         ranked = rank_by_budget(
             eligible, budgets_dim, cfg.default_budget,
-            salt=cfg.politeness_salt,
+            salt=politeness_salt,
         )
         ranked.persist()
         tick("robots+budget window", ranked)
@@ -479,13 +513,13 @@ class FrontierScheduler:
         # the priority queue, physically: (salted) repartition + local sort.
         # salt_factor > 1 splits hot buckets across tasks; fetch_seq already
         # carries the total crawl order, so salting never changes results.
-        if cfg.salt_factor > 1:
+        if salt_factor > 1:
             scheduled_out = (
                 scheduled_out.withColumn(
-                    "_salt", F.pmod(F.col("url_hash"), F.lit(cfg.salt_factor))
+                    "_salt", F.pmod(F.col("url_hash"), F.lit(salt_factor))
                 )
                 .repartition(
-                    cfg.n_buckets * cfg.salt_factor, "host_bucket", "_salt"
+                    cfg.n_buckets * salt_factor, "host_bucket", "_salt"
                 )
                 .sortWithinPartitions(
                     F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
@@ -600,6 +634,21 @@ class FrontierScheduler:
             )
 
         meta = {}
+        if cfg.auto_salt:
+            meta["auto_salt"] = salt_factor  # observability + test hook
+            # hottest-host share of this cycle's eligible frontier: feeds
+            # the NEXT cycle's _auto_salt. One job over the persisted
+            # ranked frame (map-side partial agg -> n_hosts -> 1 row).
+            depth = (
+                ranked.groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(
+                    F.max("n").alias("mx"), F.sum("n").alias("tot")
+                )
+                .collect()[0]
+            )
+            meta["host_depth_max"] = int(depth["mx"] or 0)
+            meta["host_depth_total"] = int(depth["tot"] or 0)
         compact = cfg.compact_every > 0 and cycle % cfg.compact_every == 0
         if compact:
             full_seen = io.read_appended(

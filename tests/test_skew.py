@@ -43,6 +43,50 @@ def test_skewed_host_with_salting(spark, tmp_path_factory):
     assert max(per_bucket_files.values()) > 1
 
 
+def test_auto_salt_picks_salt_from_observed_skew(spark, tmp_path_factory):
+    """cfg.auto_salt derives the physical salts per cycle from the previous
+    cycle's observed hottest-host share (manifest meta): the n=20000 skew
+    fixture (30% of URLs on host1) accumulates a deep hot-host frontier
+    under its politeness budget, so salting must turn ON (salt > 1) once
+    the depth floor is crossed — without any static salt config — and the
+    trace must stay byte-identical to refspec (salt is physical only;
+    refspec has no salt concept)."""
+    fix_dir = ensure_fixtures(FIXTURE_CACHE, 20000, skew=True)
+    fix = FixtureConfig(n_urls=20000, skew=True)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix),
+        auto_salt=True, salt_factor=1, politeness_salt=1,
+    )
+
+    work = str(tmp_path_factory.mktemp("engine-autosalt"))
+    eng = build_engine(spark, fix_dir, work, cfg)
+    eng.run(cycles=3)
+
+    salts = {
+        k: eng.io.manifest(k)["meta"]["auto_salt"] for k in range(1, 4)
+    }
+    assert salts[1] == 1  # no history yet
+    assert salts[3] > 1, salts  # hot-host depth observed -> salted
+    assert all(s <= 16 for s in salts.values())
+
+    st = spark_trace(spark, eng.io, range(1, 4))
+    pages, seeds, robots = read_fixture_rows(fix_dir)
+    rt = ref_trace(run(pages, seeds, robots, cfg, cycles=3))
+    assert diff_traces(st, rt) == []
+
+    # and an unskewed corpus must keep salting OFF (no pointless pre-pass):
+    # at n=2000 the hottest host never crosses the 8x-budget depth floor
+    plain_dir = ensure_fixtures(FIXTURE_CACHE, 2000)
+    plain_cfg = dataclasses.replace(
+        config_for_fixture(FixtureConfig(n_urls=2000)),
+        auto_salt=True, salt_factor=1, politeness_salt=1,
+    )
+    work2 = str(tmp_path_factory.mktemp("engine-autosalt-plain"))
+    eng2 = build_engine(spark, plain_dir, work2, plain_cfg)
+    eng2.run(cycles=2)
+    assert eng2.io.manifest(2)["meta"]["auto_salt"] == 1
+
+
 def test_two_phase_window_bounds_task_rows(spark):
     """The exact politeness window must never see more than salt*budget rows
     of one host — phase 1 of rank_by_budget prunes the hot host's frontier
