@@ -1509,20 +1509,25 @@ SQL_CORPUS_ENRICH = (
 )
 
 
-def q_crawl_schedule_c1(spark, sf_dir):
-    """The flagship: cycle-1 scheduled batch of the full crawl pipeline on
-    the deterministic n=2000 fixture (exact oracle = refspec, in pytest)."""
+def _entry_engine(spark):
+    """The shared cached engine run behind the engine-output queries: one
+    cycle on the deterministic n=2000 fixture with the ANN-index stage on
+    (ann_index is output-only — the crawl trace is identical with it off,
+    pinned by the goldens). Cached under .engine_runs keyed by the
+    engine-source hash so a code change can never serve a stale snapshot
+    to the driver's smoke/oracle check."""
+    import dataclasses as _dc
+    import hashlib as _hashlib
+    import shutil as _shutil
+
     from .config import config_for_fixture
     from .fixtures import FixtureConfig, ensure_fixtures
     from .golden import build_engine
 
     fix_dir = ensure_fixtures(os.path.join(REPO, ".fixtures"), 2000)
-    cfg = config_for_fixture(FixtureConfig(n_urls=2000))
-    # key the cached run by the engine-source hash so a code change can
-    # never serve a stale snapshot to the driver's smoke/oracle check
-    import hashlib as _hashlib
-    import shutil as _shutil
-
+    cfg = _dc.replace(
+        config_for_fixture(FixtureConfig(n_urls=2000)), ann_index=True
+    )
     eng_dir = os.path.dirname(os.path.abspath(__file__))
     h = _hashlib.sha256()
     for fn in sorted(os.listdir(eng_dir)):
@@ -1540,11 +1545,65 @@ def q_crawl_schedule_c1(spark, sf_dir):
     eng = build_engine(spark, fix_dir, work, cfg)
     if eng.io.latest_cycle() < 1:
         eng.run_cycle(1)
+    return eng
+
+
+def q_crawl_schedule_c1(spark, sf_dir):
+    """The flagship: cycle-1 scheduled batch of the full crawl pipeline on
+    the deterministic n=2000 fixture (exact oracle = refspec, in pytest)."""
     from . import schemas
 
+    eng = _entry_engine(spark)
     return eng.io.read_cycle(spark, "scheduled", 1, schemas.SCHEDULED).select(
         "host_bucket", "fetch_seq", "url_canon", "url_hash", "host",
         "priority", "crawl_ts", "retries",
+    )
+
+
+def q_ann_corpus_topk(spark, sf_dir):
+    """Similarity search over the ENGINE'S OWN corpus: probe the committed
+    cycle-1 ann_index table (corpus.ann_enrich output) with its first 3
+    pages as query vectors — join restricted to the query's hyperplane-LSH
+    cell (at scale: a partition-pruned scan of one cell dir, never the full
+    corpus), exact cosine + window top-3 within the cell. Rows-only for the
+    driver (engine tables are not DuckDB views); the exact oracle is the
+    pure-Python recompute in tests/test_driver_queries.py."""
+    from . import schemas
+
+    eng = _entry_engine(spark)
+    idx = eng.io.read_cycle(spark, "ann_index", 1, schemas.ANN_INDEX)
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    base = idx.select("url_hash", "cell", "emb", norm.alias("nrm")).where(
+        "nrm > 0"
+    )
+    q = (
+        base.orderBy("url_hash")
+        .limit(3)
+        .select(
+            F.col("url_hash").alias("qid"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "qe", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("url_hash")
+    )
+    return (
+        base.join(F.broadcast(q), "cell")
+        .where(F.col("url_hash") != F.col("qid"))
+        .select(
+            "qid",
+            "url_hash",
+            F.round(dot / (F.col("nrm") * F.col("qn")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where("rk <= 3")
     )
 
 
@@ -1606,6 +1665,7 @@ REGISTRY: dict = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "binary_meta": (q_binary_meta, SQL_BINARY_META),
-    # the crawl pipeline itself
+    # the crawl pipeline itself (+ similarity search over its own corpus)
     "crawl_schedule_c1": (q_crawl_schedule_c1, None),
+    "ann_corpus_topk": (q_ann_corpus_topk, None),
 }

@@ -105,6 +105,54 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.columns) > 0
 
 
+def test_ann_corpus_topk_matches_python_recompute(spark):
+    """Exact local oracle for the rows-only ann_corpus_topk entry: the
+    within-cell cosine top-3 over the engine's committed ann_index table
+    must equal a pure-Python recompute from the same committed rows."""
+    import math
+
+    from frontier_engine import schemas
+    from frontier_engine.queries import _entry_engine, q_ann_corpus_topk
+
+    got = sorted(
+        (r["qid"], r["url_hash"], r["cos_sim"], r["rk"])
+        for r in q_ann_corpus_topk(spark, SF_DIR).collect()
+    )
+    assert len(got) > 0
+
+    eng = _entry_engine(spark)
+    rows = [
+        (r["url_hash"], r["cell"], list(r["emb"]))
+        for r in eng.io.read_cycle(
+            spark, "ann_index", 1, schemas.ANN_INDEX
+        ).collect()
+    ]
+    base = [
+        (h, c, e, math.sqrt(sum(x * x for x in e)))
+        for h, c, e in rows
+        if sum(x * x for x in e) > 0
+    ]
+    queries = sorted(base)[:3]
+    want = []
+    for qid, qcell, qe, qn in queries:
+        scored = []
+        for h, c, e, n in base:
+            if c != qcell or h == qid:
+                continue
+            dot = 0.0
+            for x, y in zip(e, qe):
+                dot += x * y
+            scored.append((h, dot / (n * qn)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rk, (h, cos) in enumerate(scored[:3], start=1):
+            want.append((qid, h, cos, rk))
+    want = sorted(want)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (g, w)
+        assert abs(g[2] - round(w[2], 6)) < 2e-6, (g, w)
+
+
 def test_url_hash_keys_duckdb_udf_oracle(spark):
     """Exact local oracle for the driver's rows-only url_hash_keys entry:
     register the pure-Python xxhash64 twin (xxh.xxhash64_str, verified
