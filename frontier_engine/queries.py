@@ -1211,6 +1211,80 @@ def _sql_ann_index_cells() -> str:
 SQL_ANN_INDEX_CELLS = _sql_ann_index_cells()
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling — the training-data-pipeline
+    downsampling op: keep a lang-dependent fraction of documents, selected
+    by a content-independent md5 hash threshold (NOT rand(): re-runs and
+    retried partitions must pick identical rows — the same reproducibility
+    discipline as the crawl's url_hash identity). en keeps 50%, other
+    strata 25%. Scales as a pure per-row filter: no shuffle, no sort, no
+    driver state; the hash threshold is an embarrassingly parallel
+    predicate that Catalyst pushes into the scan."""
+    d = _t(spark, sf_dir, "documents")
+    # first 4 md5 hex chars of (lang|doc_id) -> uniform int in [0, 65536)
+    frac = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("lang"), F.lit("|"),
+                           F.col("doc_id").cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    rate = F.when(F.col("lang") == "en", F.lit(32768)).otherwise(
+        F.lit(16384)
+    )
+    return d.where(frac < rate).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(strpos('0123456789abcdef', substr(md5(lang || '|' || doc_id), 1, 1)) - 1
+           AS BIGINT) * 4096
+    + CAST(strpos('0123456789abcdef', substr(md5(lang || '|' || doc_id), 2, 1)) - 1
+           AS BIGINT) * 256
+    + CAST(strpos('0123456789abcdef', substr(md5(lang || '|' || doc_id), 3, 1)) - 1
+           AS BIGINT) * 16
+    + CAST(strpos('0123456789abcdef', substr(md5(lang || '|' || doc_id), 4, 1)) - 1
+           AS BIGINT)
+    < CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END
+"""
+
+
+def q_token_pack(spark, sf_dir):
+    """Sequence packing — assign documents to fixed token-budget packs
+    (8192 est. tokens) per language: running token sum in a deterministic
+    order, pack id = floor((cumsum - own_tokens) / budget). The classic
+    LLM-pretraining batching op. Scales: the window is PARTITIONED by the
+    stratum (lang), so each stratum packs in parallel; at corpus scale the
+    stratum key would be (lang, shard) to bound any one window's input —
+    the greedy-prefix semantics are per-stratum either way."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.ceil(F.length("text") / 4.0).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        tok.alias("est_tokens"),
+        F.floor((cum - tok) / 8192).cast("long").alias("pack_id"),
+    )
+
+
+SQL_TOKEN_PACK = """
+SELECT doc_id, lang, CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+       CAST(FLOOR((SUM(CAST(ceil(length(text) / 4.0) AS BIGINT))
+                     OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING)
+                   - CAST(ceil(length(text) / 4.0) AS BIGINT)) / 8192.0)
+            AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: token counts, avg token length, stopword ratio."""
     d = _t(spark, sf_dir, "documents")
@@ -1659,6 +1733,8 @@ REGISTRY: dict = {
     "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
     "crawl_delay_schedule": (q_crawl_delay_schedule, SQL_CRAWL_DELAY_SCHEDULE),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "token_pack": (q_token_pack, SQL_TOKEN_PACK),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),
