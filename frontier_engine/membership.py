@@ -250,29 +250,37 @@ def _cycle_dir(root: str, cycle: int) -> str:
 
 def load_bucket_filter(root: str, cycle: int, bucket: int,
                        writable: bool = False):
-    """Read one bucket's filter row from the cycle's parquet delta (pyarrow
-    dataset read with host_bucket predicate pushdown; `_`-prefixed Spark
-    marker files are ignored by pyarrow's default discovery). Returns None
-    if the bucket has no usable row (overflow marker rows carry data=NULL)."""
-    import pyarrow.dataset as pa_ds
+    """Read one bucket's filter row from the cycle's parquet delta. The
+    delta is hive-partitioned by host_bucket, so the read opens EXACTLY the
+    bucket's own file(s) via the directory layout — no dataset discovery
+    over every bucket's files per call (that discovery was a measured 5x
+    slowdown of the prefilter stage). Returns None if the bucket has no
+    usable row (overflow marker rows carry data=NULL)."""
+    import glob as _glob
 
-    d = _cycle_dir(root, cycle)
-    if not os.path.isdir(d):
-        return None
-    dset = pa_ds.dataset(d, format="parquet", partitioning="hive")
-    t = dset.to_table(
-        columns=["kind", "n_bits", "data"],
-        filter=(pa_ds.field("host_bucket") == bucket)
-        & pa_ds.field("data").is_valid(),
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        _glob.glob(
+            os.path.join(
+                _cycle_dir(root, cycle), "stage=*",
+                f"host_bucket={bucket}", "*.parquet",
+            )
+        )
     )
-    if t.num_rows == 0:
+    if not files:
         return None
-    return filter_from_row(
-        str(t["kind"][0]),
-        t["n_bits"][0].as_py(),
-        t["data"][0].as_py(),
-        writable=writable,
-    )
+    for f in files:  # bloom-stage rows sort after upsert-stage NULL markers
+        t = _pq.read_table(f, columns=["kind", "n_bits", "data"])
+        for i in range(t.num_rows):
+            if t["data"][i].is_valid:
+                return filter_from_row(
+                    str(t["kind"][i]),
+                    t["n_bits"][i].as_py(),
+                    t["data"][i].as_py(),
+                    writable=writable,
+                )
+    return None
 
 
 def filter_locations(io, through_cycle: int):
@@ -468,7 +476,10 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> dict:
         .mapInPandas(upsert_batches, out_schema)
     )
     rel = f"filters/cycle={cycle}/stage=upsert"
-    io._write_df(upsert_df, rel)
+    # hive-partition by host_bucket (input is already repartitioned on it,
+    # so this is one file per bucket, not tasks x buckets tiny files);
+    # readers then open exactly their bucket's file
+    io._write_df(upsert_df, rel, ["host_bucket"])
     # column pruning: only the tiny status projection is read back, never data
     statuses = (
         spark.read.parquet(os.path.join(root, rel))
@@ -520,7 +531,9 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> dict:
             .repartition(cfg.n_buckets, "host_bucket")
             .mapInPandas(rebuild_batches, out_schema)
         )
-        io._write_df(bloom_df, f"filters/cycle={cycle}/stage=bloom")
+        io._write_df(
+            bloom_df, f"filters/cycle={cycle}/stage=bloom", ["host_bucket"]
+        )
 
     covered = set(prev_loc) | written
     return {
