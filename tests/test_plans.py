@@ -80,6 +80,33 @@ def test_prefilter_adds_no_exchange(spark, tiny_fixture_dir,
         assert plan.count("Exchange hashpartitioning") == base_exchanges, plan
 
 
+def test_ann_stage_stays_jvm_side(spark):
+    """corpus.ann_enrich (the committed ann_index stage) must be pure
+    JVM-side built-ins: no Python eval (ArrowEval/BatchEval) nodes and no
+    Exchange — a single Project (higher-order fns run interpreted, not
+    codegen'd, but never cross the Python boundary)."""
+    from frontier_engine.corpus import ann_enrich
+
+    df = spark.createDataFrame(
+        [(1, "spark query data"), (2, "the a the")], "id long, text string"
+    )
+    plan = _plan(ann_enrich(df, "text"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, plan
+    assert "Project" in plan, plan
+
+
+def test_sampling_and_packing_plans(spark):
+    """stratified_sample must stay a shuffle-free per-row filter;
+    token_pack's only exchange is the per-stratum window partitioning."""
+    from frontier_engine.queries import q_stratified_sample, q_token_pack
+
+    sample_plan = _plan(q_stratified_sample(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in sample_plan, sample_plan
+    for p in (sample_plan, _plan(q_token_pack(spark, "/root/testdata/sf0.001"))):
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
 def test_fetch_join_does_not_shuffle_pages(spark, tiny_fixture_dir,
                                            tmp_path_factory):
     """The fetch join must not put an Exchange above the pages scan — either
