@@ -1025,6 +1025,71 @@ SQL_ANN_LSH_TOPK_BATCH = (
 )
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multiprobe LSH ANN — the standard recall refinement: each query
+    probes its own hyperplane bucket PLUS the 4 Hamming-distance-1 buckets
+    (one sign bit flipped), recovering neighbors that landed just across a
+    hyperplane. Still never all-pairs: 5 bucket equi-joins' worth of
+    candidates per query (the query side explodes 5x, the corpus side is
+    scanned once), exact cosine + window top-3 across all probes."""
+    e = _t(spark, sf_dir, "embeddings")
+    ee = _emb_double()
+    bucket = None
+    for j in range(4):
+        bit = F.when(_dot(ee, _lsh_plane(j)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", ee.alias("ee"), bucket.cast("int").alias("bucket"))
+    masks = F.array(*[F.lit(m) for m in (0, 1, 2, 4, 8)])
+    q = (
+        b.where("vec_id < 8")
+        .select(
+            F.col("vec_id").alias("qid"), F.col("ee").alias("qe"), "bucket"
+        )
+        .withColumn("_m", F.explode(masks))
+        .withColumn("bucket", F.expr("int(bucket ^ _m)"))
+        .drop("_m")
+    )
+    cand = b.where("vec_id >= 8")
+    cos = F.round(
+        _dot(F.col("ee"), F.col("qe"))
+        / (
+            F.sqrt(_dot(F.col("ee"), F.col("ee")))
+            * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.join(F.broadcast(q), "bucket")
+        .select("qid", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where("rk <= 3")
+    )
+
+
+SQL_ANN_LSH_MULTIPROBE = (
+    "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS ee, CAST("
+    + " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {_lsh_plane_sql(j)})"
+        f" > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    + " AS INT) AS bucket FROM embeddings), "
+    "q AS (SELECT vec_id AS qid, ee AS qe, "
+    "CAST(xor(bucket, m.m) AS INT) AS bucket FROM b, "
+    "(SELECT unnest([0, 1, 2, 4, 8]) AS m) m WHERE vec_id < 8), "
+    "scored AS (SELECT q.qid, b.vec_id, "
+    "ROUND(list_inner_product(b.ee, q.qe) / "
+    "(sqrt(list_inner_product(b.ee, b.ee)) * sqrt(list_inner_product(q.qe, q.qe))), 6)"
+    " AS cos_sim "
+    "FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id >= 8) "
+    "SELECT qid, vec_id, cos_sim, rk FROM ("
+    "SELECT qid, vec_id, cos_sim, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id)"
+    " AS BIGINT) AS rk FROM scored) WHERE rk <= 3"
+)
+
+
 def q_embedding_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, LSH-bucket-restricted: pairs
     are generated ONLY within a random-hyperplane bucket (never all-pairs),
@@ -1721,6 +1786,7 @@ REGISTRY: dict = {
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_lsh_topk_batch": (q_ann_lsh_topk_batch, SQL_ANN_LSH_TOPK_BATCH),
+    "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, SQL_ANN_LSH_MULTIPROBE),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_index_cells": (q_ann_index_cells, SQL_ANN_INDEX_CELLS),
     "embedding_near_dup_pairs": (

@@ -87,6 +87,38 @@ def test_auto_salt_picks_salt_from_observed_skew(spark, tmp_path_factory):
     assert eng2.io.manifest(2)["meta"]["auto_salt"] == 1
 
 
+def test_auto_salt_deterministic_across_resume(spark, tmp_path_factory):
+    """The auto-salt decision reads only COMMITTED manifest meta, so a
+    split run (2 cycles, fresh scheduler, 1 more) must pick the same salts
+    and produce the same trace as an uninterrupted 3-cycle run."""
+    fix_dir = ensure_fixtures(FIXTURE_CACHE, 20000, skew=True)
+    fix = FixtureConfig(n_urls=20000, skew=True)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix),
+        auto_salt=True, salt_factor=1, politeness_salt=1,
+    )
+
+    work_a = str(tmp_path_factory.mktemp("autosalt-straight"))
+    eng_a = build_engine(spark, fix_dir, work_a, cfg)
+    eng_a.run(cycles=3)
+
+    work_b = str(tmp_path_factory.mktemp("autosalt-resume"))
+    eng_b = build_engine(spark, fix_dir, work_b, cfg)
+    eng_b.run(cycles=2)
+    eng_b2 = build_engine(spark, fix_dir, work_b, cfg)  # fresh scheduler
+    eng_b2.run(cycles=1)  # resumes at cycle 3
+
+    for k in range(1, 4):
+        ma = eng_a.io.manifest(k)["meta"]
+        mb = eng_b2.io.manifest(k)["meta"]
+        assert ma["auto_salt"] == mb["auto_salt"], k
+        assert ma["host_depth_max"] == mb["host_depth_max"], k
+    assert diff_traces(
+        spark_trace(spark, eng_a.io, range(1, 4)),
+        spark_trace(spark, eng_b2.io, range(1, 4)),
+    ) == []
+
+
 def test_two_phase_window_bounds_task_rows(spark):
     """The exact politeness window must never see more than salt*budget rows
     of one host — phase 1 of rank_by_budget prunes the hot host's frontier
