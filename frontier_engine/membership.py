@@ -392,7 +392,7 @@ _FILTER_ROW_SCHEMA_DDL = (
 _ROW_COLS = ["host_bucket", "kind", "n_bits", "status", "data"]
 
 
-def rebuild_filters(spark, io, cycle: int, cfg) -> dict:
+def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> dict:
     """Maintain per-bucket filter rows for the url_seen set through `cycle`.
 
     Incremental: insert this cycle's delta into the bucket's previous filter
@@ -400,6 +400,15 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> dict:
     (bloom). Untouched buckets carry forward LOGICALLY (filter_locations) —
     nothing is copied. Returns the manifest meta update:
     {"filters": total buckets covered, "filters_buckets": written this cycle}.
+
+    ``consolidate`` (the filters analog of url_seen_base compaction, run on
+    the same cadence): physically re-emit every untouched bucket's row into
+    THIS cycle's delta (a parallel copy of the serialized bytes — filters
+    are not rebuilt), then delete all older filters/cycle dirs. Without it
+    the logical carry-forward pins arbitrarily old delta dirs forever.
+    Crash-safe: filters are advisory — a reader chasing a stale manifest
+    into a pruned dir gets None, classifies the bucket maybe-seen, and the
+    exact anti-join confirms (correctness never depends on a filter).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -534,6 +543,46 @@ def rebuild_filters(spark, io, cycle: int, cfg) -> dict:
         io._write_df(
             bloom_df, f"filters/cycle={cycle}/stage=bloom", ["host_bucket"]
         )
+
+    if consolidate:
+        carry = sorted(
+            (b, c) for b, c in prev_loc.items() if b not in written
+        )
+        if carry:
+            carry_df = spark.createDataFrame(
+                carry, "host_bucket INT, src_cycle INT"
+            ).repartition(cfg.n_buckets, "host_bucket")
+
+            def copy_batches(batches):
+                import pandas as _pd
+
+                rows = []
+                for pdf in batches:
+                    for b, c in zip(pdf["host_bucket"], pdf["src_cycle"]):
+                        f = load_bucket_filter(root, int(c), int(b))
+                        if f is None:
+                            continue
+                        r = f.to_row()
+                        r["host_bucket"] = int(b)
+                        r["status"] = "carried"
+                        rows.append(r)
+                yield _pd.DataFrame(rows, columns=_ROW_COLS)
+
+            io._write_df(
+                carry_df.mapInPandas(copy_batches, out_schema),
+                f"filters/cycle={cycle}/stage=carry",
+                ["host_bucket"],
+            )
+            written |= {b for b, _ in carry}
+        # older dirs now redundant: every live bucket has a row at `cycle`
+        import shutil as _shutil
+
+        fdir = os.path.join(root, "filters")
+        if os.path.isdir(fdir):
+            for n in os.listdir(fdir):
+                if n.startswith("cycle=") and int(n.split("=")[1]) < cycle:
+                    _shutil.rmtree(os.path.join(fdir, n), ignore_errors=True)
+        return {"filters": len(written), "filters_buckets": sorted(written)}
 
     covered = set(prev_loc) | written
     return {

@@ -680,7 +680,13 @@ class FrontierScheduler:
             # consume it (build_filters=False on a run's final cycle).
             from .membership import rebuild_filters
 
-            meta_update = rebuild_filters(spark, io, cycle, cfg)
+            # consolidate on the same cadence as url_seen_base compaction:
+            # re-emit untouched buckets into this cycle's delta and prune
+            # older filter dirs (the carry-forward would otherwise pin
+            # arbitrarily old deltas forever)
+            meta_update = rebuild_filters(
+                spark, io, cycle, cfg, consolidate=compact
+            )
             manifest = io.commit_meta_update(cycle, meta_update)
             tick("rebuild filters")
 

@@ -121,6 +121,59 @@ def test_forced_overflow_rebuilds_bloom(spark, tmp_path):
     assert f2.contains_many(h).all()  # no false negatives, ever
 
 
+def test_consolidation_rewrites_and_prunes(spark, tmp_path):
+    """consolidate=True must re-emit untouched buckets into the current
+    cycle's delta (parallel byte copy, no rebuild) and delete older filter
+    dirs — the filters analog of url_seen_base compaction. Answers must be
+    preserved exactly for both the touched and the carried bucket."""
+    import os as _os
+
+    from frontier_engine import membership, schemas
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    cfg = EngineConfig(n_buckets=4)
+
+    def seen_df(rows, cycle):
+        return spark.createDataFrame(
+            [(int(h), b, cycle) for h, b in rows], schemas.URL_SEEN
+        )
+
+    io.commit(
+        1,
+        {
+            "url_seen": (
+                seen_df([(h, 1) for h in range(100)]
+                        + [(h, 2) for h in range(500, 600)], 1),
+                ["host_bucket"],
+            )
+        },
+    )
+    io.commit_meta_update(1, membership.rebuild_filters(spark, io, 1, cfg))
+
+    # cycle 2 touches only bucket 1; consolidation must carry bucket 2
+    io.commit(
+        2, {"url_seen": (seen_df([(h, 1) for h in range(200, 250)], 2),
+                         ["host_bucket"])}
+    )
+    m2 = membership.rebuild_filters(spark, io, 2, cfg, consolidate=True)
+    io.commit_meta_update(2, m2)
+    assert sorted(m2["filters_buckets"]) == [1, 2]  # carried bucket listed
+    assert m2["filters"] == 2
+
+    # old dir pruned; everything resolves to cycle 2
+    assert not _os.path.isdir(_os.path.join(io.root, "filters", "cycle=1"))
+    last_build, loc = filter_locations(io, 2)
+    assert (last_build, loc) == (2, {1: 2, 2: 2})
+
+    f1 = load_bucket_filter(io.root, 2, 1)
+    both = np.array(list(range(100)) + list(range(200, 250)), dtype=np.uint64)
+    assert f1.contains_many(both).all()
+    f2 = load_bucket_filter(io.root, 2, 2)
+    assert f2.contains_many(np.arange(500, 600, dtype=np.uint64)).all()
+
+
 def test_logical_carry_forward_no_copy(spark, tmp_path):
     """A bucket untouched at cycle 2 must NOT be rewritten: cycle 2's delta
     holds only the changed bucket, and filter_locations resolves the
