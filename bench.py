@@ -116,6 +116,13 @@ def benchrun_subprocess(
     )
 
 
+def _median(xs) -> float:
+    s = sorted(xs)
+    n = len(s)
+    m = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(m, 3)
+
+
 def best_of(
     master: str, fix: str, pc: str, cycles: int, repeats: int,
     run=benchrun_subprocess,
@@ -203,6 +210,11 @@ def scaling_evidence(
         "elapsed_4N": hi["elapsed_sec"],
         "all_elapsed_N": lo["all_elapsed_sec"],
         "all_elapsed_4N": hi["all_elapsed_sec"],
+        # median documents the window quality (best-of stays the point
+        # estimate since steal only slows runs) — de-fangs cross-round
+        # best-vs-best comparisons made in noisy windows
+        "median_elapsed_N": _median(lo["all_elapsed_sec"]),
+        "median_elapsed_4N": _median(hi["all_elapsed_sec"]),
         "adaptive_extra_runs_N": lo["adaptive_extra_runs"],
         "adaptive_extra_runs_4N": hi["adaptive_extra_runs"],
         "efficiency": round(eff, 3),
@@ -261,6 +273,7 @@ def main() -> None:
             lambda: benchrun_subprocess(f"local[{cpus}]", fix, pc, 3),
             below=HEADLINE_RETRY_BELOW,
         )
+    head["median_elapsed_sec"] = _median(head["all_elapsed_sec"])
     frontier["headline"] = head
 
     # 1b. bounded-budget variant: same corpus, default_budget=50 — budgets
@@ -274,6 +287,7 @@ def main() -> None:
         run=lambda m, f, p, c: benchrun_subprocess(m, f, p, c,
                                                    default_budget=50),
     )
+    salted["median_elapsed_sec"] = _median(salted["all_elapsed_sec"])
     frontier["salted_window"] = salted
 
     # 2. scaling evidence N -> 4N
@@ -329,6 +343,10 @@ def write_md(result: dict) -> None:
     art = _latest_driver_artifact()
     if art is not None:
         name, a = art
+
+        def _fmt(v):  # a malformed artifact must not crash --write-md
+            return f"{v:,}" if isinstance(v, (int, float)) else "n/a"
+
         a_sc = a.get("frontier", {}).get("scaling", {})
         lines += [
             f"## Authoritative numbers: driver artifact `{name}`",
@@ -338,15 +356,23 @@ def write_md(result: dict) -> None:
             "iterating (differences are hypervisor-steal window noise,",
             "documented under Methodology).",
             "",
-            f"- headline: **{a.get('value'):,} URLs/s**"
+            f"- headline: **{_fmt(a.get('value'))} URLs/s**"
             f" (crawl_3cycles {a.get('queries', {}).get('crawl_3cycles')} s,"
             f" sf={a.get('sf')})",
         ]
         if a_sc:
             lines.append(
                 f"- scaling efficiency N->4N: **{a_sc.get('efficiency')}**"
-                f" (tput local[{a_sc.get('N')}]={a_sc.get('tput_N'):,},"
-                f" local[{a_sc.get('4N')}]={a_sc.get('tput_4N'):,} URLs/s)"
+                f" (tput local[{a_sc.get('N')}]={_fmt(a_sc.get('tput_N'))},"
+                f" local[{a_sc.get('4N')}]={_fmt(a_sc.get('tput_4N'))}"
+                " URLs/s)"
+            )
+        a_sw = a.get("frontier", {}).get("salted_window", {})
+        if a_sw:
+            lines.append(
+                f"- bounded-budget salted-window variant:"
+                f" {_fmt(a_sw.get('urls_per_sec'))} URLs/s"
+                f" (elapsed {a_sw.get('elapsed_sec')} s)"
             )
         lines.append("")
     lines += [
@@ -378,7 +404,8 @@ def write_md(result: dict) -> None:
         f"- elapsed: {head['elapsed_sec']} s; scheduled+deduped throughput:"
         f" **{head['urls_per_sec']:,} URLs/s**",
         f"- runs {head.get('all_elapsed_sec')}"
-        f" (adaptive extras: {head.get('adaptive_extra_runs', 0)})",
+        f" (median {head.get('median_elapsed_sec')} s;"
+        f" adaptive extras: {head.get('adaptive_extra_runs', 0)})",
         f"- enqueued={head['enqueued']:,} deduped={head['deduped']:,}"
         f" fetched_ok={head['fetched_ok']:,} errors={head['errors']:,}",
         "",
@@ -406,9 +433,11 @@ def write_md(result: dict) -> None:
             "",
             f"- input: {sc['n_urls']:,} URLs, 1 cycle",
             f"- local[{sc['N']}]: {sc['tput_N']:,} URLs/s"
-            f" (elapsed {sc['elapsed_N']} s; runs {sc['all_elapsed_N']})",
+            f" (elapsed {sc['elapsed_N']} s; runs {sc['all_elapsed_N']};"
+            f" median {sc.get('median_elapsed_N')} s)",
             f"- local[{sc['4N']}]: {sc['tput_4N']:,} URLs/s"
-            f" (elapsed {sc['elapsed_4N']} s; runs {sc['all_elapsed_4N']})",
+            f" (elapsed {sc['elapsed_4N']} s; runs {sc['all_elapsed_4N']};"
+            f" median {sc.get('median_elapsed_4N')} s)",
             f"- **efficiency = tput(4N) / (4 x tput(N)) ="
             f" {sc['efficiency']}**"
             f" (adaptive extras: N={sc.get('adaptive_extra_runs_N', 0)},"

@@ -70,6 +70,15 @@ class EngineConfig:
     # language ID / MinHash-LSH near-dup group). Off by default: it is
     # value-add output beyond the frontier metric, not cycle bookkeeping.
     enrich_pages: bool = False
+    # every N cycles (0 = off; needs enrich_pages), run the FULL near-dup
+    # closure over the accumulated corpus: large-star/small-star connected
+    # components (graph.py, O(log n) rounds) over the union of all cycles'
+    # MinHash band rows (the nd_bands table committed alongside
+    # page_stats), committed as an nd_components table (url_hash ->
+    # component min). Closes the per-cycle one-hop nd_group caveat: groups
+    # spanning cycles or chained through intermediate near-dups collapse to
+    # one component id. Golden-checked vs a pure-Python union-find.
+    nd_closure_every: int = 0
     # commit a per-cycle ann_index table (corpus.ann_enrich over the cycle's
     # successfully fetched pages: deterministic hashed-word embedding +
     # hyperplane-LSH cell, partitioned by cell so similarity search over the

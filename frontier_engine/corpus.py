@@ -21,9 +21,13 @@ groupBy/join for the near-dup group:
   bucket (one LSH hop; docs with no 3-gram shingles group with themselves).
   One hop is deliberate: the hop already links every pair the banded LSH
   would emit, which is what near-dup pruning needs. The full iterative
-  closure exists as the driver query ``neardup_components``
-  (queries.q_neardup_components): min-label propagation to a fixpoint,
-  oracle-checked against a DuckDB recursive reachability CTE.
+  closure exists twice: as the driver query ``neardup_components``
+  (queries.q_neardup_components, oracle-checked against a DuckDB recursive
+  reachability CTE), and as an ENGINE stage (cfg.nd_closure_every):
+  every N cycles the scheduler runs large-star/small-star connected
+  components (graph.py) over the accumulated ``nd_bands`` table
+  (band_keys below) and commits an ``nd_components`` table —
+  golden-checked against a pure-Python union-find.
 
 The reference has no analog (container-crawler hands rows to opaque
 handlers, base_handler.py ≈L48); this is the north-star "what a 100-TB
@@ -56,6 +60,35 @@ def _shingles(text_col):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, band, bkey) MinHash band rows — the LSH near-dup graph surface.
+
+    This is the SMALL table the cross-cycle closure accumulates (N_BANDS
+    rows per doc, ~100 bytes each — vs re-reading corpus text): two docs
+    share a near-dup edge iff they share a (band, bkey). Used per-cycle by
+    ``enrich`` (one-hop nd_group) and across cycles by the scheduler's
+    nd_closure stage (connected components over all cycles' band rows)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(F.col(text_col))).alias("s"),
+    )
+    sig = sh.groupBy("_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(N_PERM)
+        ]
+    )
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select(
+            "_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
 def enrich(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Append the enrichment columns to ``df`` (keyed by ``id_col``).
 
@@ -85,21 +118,7 @@ def enrich(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
     # near-dup group: min id over shared MinHash band buckets (one hop)
-    sh = df.select(idc.alias("_id"), F.explode(_shingles(text)).alias("s"))
-    sig = sh.groupBy("_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
-            for i in range(N_PERM)
-        ]
-    )
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = band_keys(df, id_col, text_col)
     groups = bands.groupBy("band", "bkey").agg(F.min("_id").alias("g"))
     doc_g = (
         bands.join(groups, ["band", "bkey"])

@@ -53,6 +53,7 @@ def connected_components_star(
     (src, dst); ``vertices`` one column ``id`` (singletons keep comp=id)."""
     e = _canon(edges, "src", "dst").localCheckpoint()
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
         # large-star over symmetric neighborhoods
@@ -89,7 +90,18 @@ def connected_components_star(
         )
         e = new_e
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Exiting via max_rounds means the edge set is NOT a star forest: a
+        # vertex may appear under multiple u rows -> duplicate (id, comp)
+        # rows and non-minimum labels. Silent wrong answers are worse than a
+        # loud failure; max_rounds=50 covers ~2^25-deep chains, so hitting
+        # this is a caller bug (raise, don't warn).
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_rounds} "
+            "rounds; result would be inconsistent (raise max_rounds)"
+        )
     # star forest: every non-root points at its component min; roots and
     # singletons never appear on the u side
     comp = (

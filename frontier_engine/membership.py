@@ -270,7 +270,11 @@ def load_bucket_filter(root: str, cycle: int, bucket: int,
     )
     if not files:
         return None
-    for f in files:  # bloom-stage rows sort after upsert-stage NULL markers
+    # Correctness here relies on SKIPPING data=NULL marker rows (overflow
+    # markers from stage=upsert carry data=NULL), NOT on file sort order —
+    # the sorted glob actually puts stage=bloom BEFORE stage=upsert
+    # ('b' < 'u'), so a usable bloom row wins over a later NULL marker.
+    for f in files:
         t = _pq.read_table(f, columns=["kind", "n_bits", "data"])
         for i in range(t.num_rows):
             if t["data"][i].is_valid:
@@ -297,6 +301,16 @@ def filter_locations(io, through_cycle: int):
             continue
         meta = m.get("meta", {})
         if meta.get("filters") is None:
+            continue
+        # Pre-parquet-store manifests (round-2 .npz sidecars) have "filters"
+        # but no "filters_buckets"; their data lives outside TableIO and is
+        # unreadable here. Treating one as a valid build would set last_build
+        # while loc stays empty, so later rebuilds would only cover deltas
+        # after it and URLs first seen at-or-before it could test
+        # definitely-new (filter false negatives -> duplicate crawls).
+        # Skip them: the next rebuild then covers deltas from cycle 1 and
+        # the prefilter falls back to the exact anti-join meanwhile.
+        if "filters_buckets" not in meta:
             continue
         if last_build == 0:
             last_build = c
@@ -479,22 +493,32 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
             rows.append(r)
         yield _pd.DataFrame(rows, columns=_ROW_COLS)
 
-    upsert_df = (
-        delta.select("host_bucket", "url_hash")
-        .repartition(cfg.n_buckets, "host_bucket")
-        .mapInPandas(upsert_batches, out_schema)
-    )
-    rel = f"filters/cycle={cycle}/stage=upsert"
-    # hive-partition by host_bucket (input is already repartitioned on it,
-    # so this is one file per bucket, not tasks x buckets tiny files);
-    # readers then open exactly their bucket's file
-    io._write_df(upsert_df, rel, ["host_bucket"])
-    # column pruning: only the tiny status projection is read back, never data
-    statuses = (
-        spark.read.parquet(os.path.join(root, rel))
-        .select("host_bucket", "status")
-        .collect()
-    )
+    if cap:
+        upsert_df = (
+            delta.select("host_bucket", "url_hash")
+            .repartition(cfg.n_buckets, "host_bucket")
+            .mapInPandas(upsert_batches, out_schema)
+        )
+        rel = f"filters/cycle={cycle}/stage=upsert"
+        # hive-partition by host_bucket (input is already repartitioned on it,
+        # so this is one file per bucket, not tasks x buckets tiny files);
+        # readers then open exactly their bucket's file
+        io._write_df(upsert_df, rel, ["host_bucket"])
+        # column pruning: only the tiny status projection is read back, never
+        # data. Explicit schema: a partitionBy write of an all-empty frame
+        # emits no parquet files (only _SUCCESS) and schema inference would
+        # raise UNABLE_TO_INFER_SCHEMA.
+        statuses = (
+            spark.read.schema(out_schema)
+            .parquet(os.path.join(root, rel))
+            .select("host_bucket", "status")
+            .collect()
+        )
+    else:
+        # Empty url_seen delta (saturated frontier / all-dup discoveries):
+        # nothing to insert — no upsert dir at all this cycle. Carry-forward
+        # (logical, or physical below when consolidating) still applies.
+        statuses = []
     written = {int(r["host_bucket"]) for r in statuses}
     overflow = [
         int(r["host_bucket"]) for r in statuses if r["status"] == "overflow"

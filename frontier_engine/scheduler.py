@@ -615,6 +615,57 @@ class FrontierScheduler:
                 pstats.repartition(cfg.n_buckets, "host_bucket"),
                 ["host_bucket"],
             )
+            # band rows ride along (~N_BANDS tiny rows per doc): the
+            # cross-cycle near-dup closure below reads THESE, never the
+            # corpus text again
+            from .corpus import band_keys
+
+            nd_bands_delta = band_keys(
+                done.select("url_hash", "_text"), "url_hash", "_text"
+            ).select(*schemas.ND_BANDS.fieldNames())
+            tables["nd_bands"] = (nd_bands_delta.coalesce(8), None)
+
+            if cfg.nd_closure_every and cycle % cfg.nd_closure_every == 0:
+                # FULL near-dup closure over the accumulated corpus —
+                # engine analog of handler dispatch over committed state
+                # (base_handler.py ≈L48): edges = doc <-> min-doc of each
+                # shared (band, bkey) bucket (star edges, never all-pairs
+                # within a bucket), components via O(log n) star
+                # contraction. Vertices come from accumulated page_stats
+                # so shingle-less docs keep singleton components.
+                from .graph import connected_components_star
+
+                all_bands = io.read_appended(
+                    spark, "nd_bands", cycle - 1, schemas.ND_BANDS
+                ).unionByName(nd_bands_delta)
+                grp = all_bands.groupBy("band", "bkey").agg(
+                    F.min("_id").alias("g")
+                )
+                edges = all_bands.join(grp, ["band", "bkey"]).select(
+                    F.col("_id").alias("src"), F.col("g").alias("dst")
+                )
+                verts = (
+                    io.read_appended(
+                        spark, "page_stats", cycle - 1, schemas.PAGE_STATS
+                    )
+                    .select("url_hash")
+                    .unionByName(pstats.select("url_hash"))
+                    .distinct()
+                    .select(F.col("url_hash").alias("id"))
+                )
+                comp, nd_rounds = connected_components_star(edges, verts)
+                tables["nd_components"] = (
+                    comp.select(
+                        F.col("id").alias("url_hash"),
+                        F.col("comp").alias("nd_comp"),
+                    ).coalesce(8),
+                    None,
+                )
+                meta_nd_rounds = nd_rounds
+            else:
+                meta_nd_rounds = None
+        else:
+            meta_nd_rounds = None
 
         if cfg.ann_index:
             # ANN index over this cycle's fetched corpus: the SAME transform
@@ -634,6 +685,9 @@ class FrontierScheduler:
             )
 
         meta = {}
+        if meta_nd_rounds is not None:
+            # observability + the golden's O(log n) round-bound assertion
+            meta["nd_rounds"] = meta_nd_rounds
         if cfg.auto_salt:
             meta["auto_salt"] = salt_factor  # observability + test hook
             # hottest-host share of this cycle's eligible frontier: feeds

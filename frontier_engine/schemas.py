@@ -56,6 +56,21 @@ PAGE_STATS = T.StructType(
     ]
 )
 
+ND_BANDS = T.StructType(
+    [
+        T.StructField("_id", T.LongType()),  # url_hash
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bkey", T.StringType()),
+    ]
+)
+
+ND_COMPONENTS = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("nd_comp", T.LongType()),
+    ]
+)
+
 ANN_INDEX = T.StructType(
     [
         T.StructField("url_hash", T.LongType()),

@@ -153,6 +153,57 @@ def test_ann_corpus_topk_matches_python_recompute(spark):
         assert abs(g[2] - round(w[2], 6)) < 2e-6, (g, w)
 
 
+def test_ann_corpus_multiprobe_matches_python_recompute(spark):
+    """Exact local oracle for the rows-only ann_corpus_multiprobe entry:
+    top-5 cosine over the union of the query's own cell and its N_HYPER
+    Hamming-1 cells must equal a pure-Python recompute from the same
+    committed ann_index rows."""
+    import math
+
+    from frontier_engine import schemas
+    from frontier_engine.corpus import N_HYPER
+    from frontier_engine.queries import (
+        _entry_engine,
+        q_ann_corpus_multiprobe,
+    )
+
+    got = sorted(
+        (r["qid"], r["url_hash"], r["cos_sim"], r["rk"])
+        for r in q_ann_corpus_multiprobe(spark, SF_DIR).collect()
+    )
+    assert 0 < len(got) <= 5
+
+    eng = _entry_engine(spark)
+    rows = [
+        (r["url_hash"], r["cell"], list(r["emb"]))
+        for r in eng.io.read_cycle(
+            spark, "ann_index", 1, schemas.ANN_INDEX
+        ).collect()
+    ]
+    base = [
+        (h, c, e, math.sqrt(sum(x * x for x in e)))
+        for h, c, e in rows
+        if sum(x * x for x in e) > 0
+    ]
+    qid, qcell, qe, qn = sorted(base)[0]
+    probes = {qcell ^ m for m in [0] + [1 << j for j in range(N_HYPER)]}
+    scored = []
+    for h, c, e, n in base:
+        if c not in probes or h == qid:
+            continue
+        dot = sum(x * y for x, y in zip(e, qe))
+        scored.append((h, dot / (n * qn)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    want = sorted(
+        (qid, h, round(cos, 6), rk)
+        for rk, (h, cos) in enumerate(scored[:5], start=1)
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (g, w)
+        assert abs(g[2] - w[2]) < 2e-6, (g, w)
+
+
 def test_url_hash_keys_duckdb_udf_oracle(spark):
     """Exact local oracle for the driver's rows-only url_hash_keys entry:
     register the pure-Python xxhash64 twin (xxh.xxhash64_str, verified
@@ -192,3 +243,47 @@ def test_url_hash_keys_duckdb_udf_oracle(spark):
         ).fetchall()
     )
     assert srows == drows
+
+
+def test_crawl_schedule_c1_matches_refspec_exact(spark):
+    """Exact local oracle for the rows-only crawl_schedule_c1 entry (the
+    flagship): schema, row count, and EVERY row (bucket, fetch_seq order,
+    url/hash/host/priority/timestamp/retries) must equal the pure-Python
+    refspec's cycle-1 scheduled batch on the same fixture — the strongest
+    pin available for a query whose tables DuckDB cannot see. (Documented
+    decision per round-3 verdict item 10: the batch is deterministic given
+    the fixture, so the refspec IS the DuckDB-equivalent oracle here.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frontier_engine.config import config_for_fixture
+    from frontier_engine.fixtures import FixtureConfig, ensure_fixtures
+    from frontier_engine.queries import REPO, q_crawl_schedule_c1
+    from frontier_engine.refspec import read_fixture_rows, run
+
+    df = q_crawl_schedule_c1(spark, SF_DIR)
+    assert [f.name for f in df.schema.fields] == [
+        "host_bucket", "fetch_seq", "url_canon", "url_hash", "host",
+        "priority", "crawl_ts", "retries",
+    ]
+    got = sorted(
+        (r["host_bucket"], r["fetch_seq"], r["url_canon"], r["url_hash"],
+         r["host"], r["priority"], r["ts_us"], r["retries"])
+        for r in df.withColumn("ts_us", F.unix_micros("crawl_ts"))
+        .drop("crawl_ts")
+        .collect()
+    )
+
+    fix_dir = ensure_fixtures(os.path.join(REPO, ".fixtures"), 2000)
+    cfg = config_for_fixture(FixtureConfig(n_urls=2000))
+    pages, seeds, robots = read_fixture_rows(fix_dir)
+    res = run(pages, seeds, robots, cfg, cycles=1)
+    want = sorted(
+        (b, seq, url_canon, url_hash, host, priority, ts_us, retries)
+        for b, lst in res.scheduled[1].items()
+        for seq, (url_canon, url_hash, host, priority, ts_us, retries,
+                  _planned_us) in enumerate(lst, start=1)
+    )
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -362,3 +362,119 @@ def test_extraction_byte_identity(spark, tiny_fixture_dir, golden):
     # and the pure-Python oracle agrees on a sample
     for r in pc.orderBy("url_hash").limit(20).collect():
         assert ref_extract(r["html"]) == r["text"]
+
+
+def test_nd_closure_matches_union_find(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """Engine-side near-dup closure (cfg.nd_closure_every): the
+    nd_components table committed at cycle 2 must EXACTLY equal a
+    pure-Python union-find over the accumulated nd_bands rows (docs share
+    an edge iff they share a (band, bkey); singleton vertices come from
+    page_stats), and the star contraction must respect the O(log n) round
+    bound on the engine path (manifest meta nd_rounds)."""
+    import dataclasses
+    import math
+    from collections import defaultdict
+
+    from frontier_engine import schemas
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix), enrich_pages=True, nd_closure_every=2
+    )
+    work = str(tmp_path_factory.mktemp("engine-ndclosure"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=2)
+
+    # cycle 1 (closure not due) committed bands but no components
+    assert eng.io.manifest(1)["meta"].get("nd_rounds") is None
+
+    bands = eng.io.read_appended(
+        spark, "nd_bands", 2, schemas.ND_BANDS
+    ).collect()
+    verts = [
+        r["url_hash"]
+        for r in eng.io.read_appended(
+            spark, "page_stats", 2, schemas.PAGE_STATS
+        )
+        .select("url_hash")
+        .distinct()
+        .collect()
+    ]
+    got = {
+        r["url_hash"]: r["nd_comp"]
+        for r in eng.io.read_cycle(
+            spark, "nd_components", 2, schemas.ND_COMPONENTS
+        ).collect()
+    }
+    assert len(got) == len(verts) > 0  # one row per doc, no dups
+
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    buckets = defaultdict(list)
+    for r in bands:
+        buckets[(r["band"], r["bkey"])].append(r["_id"])
+    for ids in buckets.values():
+        m = min(ids)
+        for i in ids:
+            union(m, i)
+    comp_min = {}
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in verts}
+    assert got == want
+
+    rounds = eng.io.manifest(2)["meta"]["nd_rounds"]
+    n = len(verts)
+    assert rounds <= 2 * math.ceil(math.log2(max(n, 2))) + 2, rounds
+
+
+def test_consolidation_resume_golden(
+    spark, tiny_fixture_dir, golden, tmp_path_factory
+):
+    """Crash-after-consolidation resume: a run whose compact cadence
+    consolidates the filter store (physical carry of untouched buckets +
+    pruning of older filters/cycle dirs) then dies must resume to the
+    IDENTICAL continuation — while the prefilter reads ONLY the surviving
+    consolidated cycle's filter dirs. Pins membership.py's crash-safety
+    argument (filters advisory; consolidation never changes results)
+    end-to-end."""
+    import dataclasses
+    import os as _os
+
+    from frontier_engine.membership import filter_locations
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(config_for_fixture(fix), compact_every=2)
+    work = str(tmp_path_factory.mktemp("engine-consol-resume"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run_cycle(1)
+    eng.run_cycle(2)  # compact cycle: consolidates filters, prunes cycle=1
+
+    fdir = _os.path.join(eng.io.root, "filters")
+    assert sorted(_os.listdir(fdir)) == ["cycle=2"]  # old dirs pruned
+    last_build, loc = filter_locations(eng.io, 2)
+    assert last_build == 2
+    assert loc and all(c == 2 for c in loc.values())  # ONLY cycle-2 reads
+
+    # fresh scheduler = fresh process; resume must continue identically
+    eng2 = build_engine(spark, tiny_fixture_dir, work, cfg)
+    assert eng2.io.latest_cycle() == 2
+    eng2.run_cycle(3, build_filters=False)
+
+    st = spark_trace(spark, eng2.io, range(1, 4))
+    st_plain, _, _, _ = golden
+    assert diff_traces(st, st_plain) == []

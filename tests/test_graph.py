@@ -84,6 +84,16 @@ def test_singletons_and_self_loops(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 4}
 
 
+def test_max_rounds_exhaustion_raises(spark):
+    """Exiting via max_rounds without a fixpoint must raise, not silently
+    return a non-star-forest edge set (round-3 advice: duplicate (id, comp)
+    rows with no error signal)."""
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _run(spark, n, edges, max_rounds=2)
+
+
 def test_empty_edges(spark):
     got, rounds = _run(spark, 4, [])
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}

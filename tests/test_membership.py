@@ -174,6 +174,89 @@ def test_consolidation_rewrites_and_prunes(spark, tmp_path):
     assert f2.contains_many(np.arange(500, 600, dtype=np.uint64)).all()
 
 
+def test_empty_delta_cycle_does_not_crash_rebuild(spark, tmp_path):
+    """A cycle whose url_seen delta is EMPTY (saturated frontier /
+    all-duplicate discoveries) must not kill the build: the partitionBy
+    write of an all-empty frame emits no parquet files, so a schema-less
+    read-back would raise UNABLE_TO_INFER_SCHEMA (round-3 advice). The
+    rebuild must no-op gracefully and keep the logical carry-forward."""
+    from frontier_engine import membership, schemas
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    cfg = EngineConfig(n_buckets=4)
+
+    def seen_df(rows, cycle):
+        return spark.createDataFrame(
+            [(int(h), b, cycle) for h, b in rows], schemas.URL_SEEN
+        )
+
+    io.commit(
+        1, {"url_seen": (seen_df([(h, 1) for h in range(100)], 1),
+                         ["host_bucket"])}
+    )
+    io.commit_meta_update(1, membership.rebuild_filters(spark, io, 1, cfg))
+
+    # cycle 2: zero new url_seen rows
+    io.commit(2, {"url_seen": (seen_df([], 2), ["host_bucket"])})
+    m2 = membership.rebuild_filters(spark, io, 2, cfg)
+    io.commit_meta_update(2, m2)
+    assert m2["filters_buckets"] == []
+    assert m2["filters"] == 1  # bucket 1 still covered, carried logically
+
+    last_build, loc = filter_locations(io, 2)
+    assert (last_build, loc) == (2, {1: 1})
+    f = load_bucket_filter(io.root, loc[1], 1)
+    assert f.contains_many(np.arange(100, dtype=np.uint64)).all()
+
+    # consolidation on an empty delta: carries the bucket physically
+    io.commit(3, {"url_seen": (seen_df([], 3), ["host_bucket"])})
+    m3 = membership.rebuild_filters(spark, io, 3, cfg, consolidate=True)
+    io.commit_meta_update(3, m3)
+    assert m3["filters_buckets"] == [1]
+    g = load_bucket_filter(io.root, 3, 1)
+    assert g.contains_many(np.arange(100, dtype=np.uint64)).all()
+
+
+def test_old_format_manifest_treated_as_no_build(spark, tmp_path):
+    """A pre-parquet-store manifest (meta has "filters" but no
+    "filters_buckets" — the round-2 .npz sidecar format, unreadable here)
+    must be skipped by filter_locations: treating it as a valid build would
+    set last_build while loc stays empty, so later rebuilds would only
+    cover deltas after it and URLs first seen at-or-before it could test
+    definitely-new (filter false negatives -> duplicate crawls)."""
+    from frontier_engine import membership, schemas
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    cfg = EngineConfig(n_buckets=4)
+
+    def seen_df(rows, cycle):
+        return spark.createDataFrame(
+            [(int(h), b, cycle) for h, b in rows], schemas.URL_SEEN
+        )
+
+    # cycle 1 committed by the OLD format: url_seen rows exist, manifest
+    # claims a filter build but carries no filters_buckets key
+    io.commit(1, {"url_seen": (seen_df([(h, 1) for h in range(100)], 1),
+                               ["host_bucket"])})
+    io.commit_meta_update(1, {"filters": 1})
+
+    last_build, loc = filter_locations(io, 1)
+    assert (last_build, loc) == (0, {})  # old build invisible -> no build
+
+    # the next rebuild therefore covers deltas from cycle 1, not cycle 2
+    io.commit(2, {"url_seen": (seen_df([(h, 1) for h in range(200, 250)], 2),
+                               ["host_bucket"])})
+    m2 = membership.rebuild_filters(spark, io, 2, cfg)
+    io.commit_meta_update(2, m2)
+    f = load_bucket_filter(io.root, 2, 1)
+    both = np.array(list(range(100)) + list(range(200, 250)), dtype=np.uint64)
+    assert f.contains_many(both).all()  # cycle-1 rows NOT missing
+
+
 def test_logical_carry_forward_no_copy(spark, tmp_path):
     """A bucket untouched at cycle 2 must NOT be rewritten: cycle 2's delta
     holds only the changed bucket, and filter_locations resolves the

@@ -107,6 +107,37 @@ def test_sampling_and_packing_plans(spark):
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
+def test_token_pack_sharded_window_partitions_on_both_keys(spark):
+    """The scale-sharded packer's running-sum window must partition on
+    (lang, shard) — if the shard key fell out of the window spec, one
+    dominant language would again be a single unbounded window task."""
+    from frontier_engine.queries import q_token_pack_sharded
+
+    plan = _plan(q_token_pack_sharded(spark, "/root/testdata/sf0.001"))
+    spec_lines = [l for l in plan.split("\n") if "windowspecdefinition" in l]
+    assert spec_lines, plan
+    assert all(
+        "lang" in l and "shard" in l for l in spec_lines
+    ), "\n".join(spec_lines)
+
+
+def test_ann_corpus_multiprobe_partition_pruned(spark):
+    """The multiprobe of the engine's own ann_index must stay a
+    PARTITION-PRUNED scan: the probe cells are plan-time literals, so the
+    FileScan's PartitionFilters carries `cell IN (...)` with at most
+    N_HYPER+1 cells — never a full-index scan."""
+    import re
+
+    from frontier_engine.corpus import N_HYPER
+    from frontier_engine.queries import q_ann_corpus_multiprobe
+
+    plan = _plan(q_ann_corpus_multiprobe(spark, "/root/testdata/sf0.001"))
+    m = re.search(r"PartitionFilters: \[[^]]*cell[^]]* IN \(([^)]*)\)", plan)
+    assert m, plan
+    cells = [c for c in m.group(1).split(",") if c.strip()]
+    assert 1 <= len(cells) <= N_HYPER + 1, m.group(0)
+
+
 def test_fetch_join_does_not_shuffle_pages(spark, tiny_fixture_dir,
                                            tmp_path_factory):
     """The fetch join must not put an Exchange above the pages scan — either
