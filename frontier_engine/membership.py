@@ -447,16 +447,23 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
     # holds only the filters under construction — never a whole bucket's
     # url_seen in one pandas frame (at 10^10/64 URLs that frame alone is
     # GBs; the bloom being built is ~12 bits/item). Fresh-filter capacities
-    # come from a tiny driver-side count per bucket. Rows stay
-    # one-per-bucket; if a single bucket's filter ever outgrows executor
-    # memory the seam is (host_bucket, url_hash>>k) sub-shards of the same
-    # row layout.
-    cap = {
-        int(r["host_bucket"]): int(r["n"])
-        for r in delta.groupBy("host_bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # come from a tiny driver-side count per bucket — but ONLY when some
+    # bucket actually lacks a previous filter: once every bucket is covered
+    # the incremental upsert never consults cap, and the count would be a
+    # whole extra scan of the delta per cycle for nothing (measured ~0.3-
+    # 0.5 s/cycle of the round-3 headline regression). If a covered
+    # bucket's row turns out unreadable anyway, the fallback capacity is
+    # the first batch's size — an undersized cuckoo then overflows into
+    # the bloom rebuild below, so correctness never depends on cap.
+    if len(prev_loc) >= cfg.n_buckets:
+        cap = {}
+    else:
+        cap = {
+            int(r["host_bucket"]): int(r["n"])
+            for r in delta.groupBy("host_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     out_schema = T.StructType.fromDDL(_FILTER_ROW_SCHEMA_DDL)
 
     def upsert_batches(batches):
@@ -493,36 +500,40 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
             rows.append(r)
         yield _pd.DataFrame(rows, columns=_ROW_COLS)
 
-    if cap:
-        upsert_df = (
-            delta.select("host_bucket", "url_hash")
-            .repartition(cfg.n_buckets, "host_bucket")
-            .mapInPandas(upsert_batches, out_schema)
-        )
-        rel = f"filters/cycle={cycle}/stage=upsert"
-        # hive-partition by host_bucket (input is already repartitioned on it,
-        # so this is one file per bucket, not tasks x buckets tiny files);
-        # readers then open exactly their bucket's file
-        io._write_df(upsert_df, rel, ["host_bucket"])
-        # column pruning: only the tiny status projection is read back, never
-        # data. Explicit schema: a partitionBy write of an all-empty frame
-        # emits no parquet files (only _SUCCESS) and schema inference would
-        # raise UNABLE_TO_INFER_SCHEMA.
-        statuses = (
-            spark.read.schema(out_schema)
-            .parquet(os.path.join(root, rel))
-            .select("host_bucket", "status")
-            .collect()
-        )
-    else:
-        # Empty url_seen delta (saturated frontier / all-dup discoveries):
-        # nothing to insert — no upsert dir at all this cycle. Carry-forward
-        # (logical, or physical below when consolidating) still applies.
-        statuses = []
-    written = {int(r["host_bucket"]) for r in statuses}
-    overflow = [
-        int(r["host_bucket"]) for r in statuses if r["status"] == "overflow"
-    ]
+    upsert_df = (
+        delta.select("host_bucket", "url_hash")
+        .repartition(cfg.n_buckets, "host_bucket")
+        .mapInPandas(upsert_batches, out_schema)
+    )
+    rel = f"filters/cycle={cycle}/stage=upsert"
+    # hive-partition by host_bucket (input is already repartitioned on it,
+    # so this is one file per bucket, not tasks x buckets tiny files);
+    # readers then open exactly their bucket's file
+    io._write_df(upsert_df, rel, ["host_bucket"])
+    # Status read-back: driver-side pyarrow over the per-bucket files'
+    # status column only — NOT a Spark job (the round-3 spark.read +
+    # collect here was a whole extra job per cycle, ~0.3-0.5 s of the
+    # headline regression; the driver touches the same n_buckets tiny
+    # footers either way). An EMPTY url_seen delta (saturated frontier /
+    # all-dup discoveries) writes no parquet files at all — the glob then
+    # yields no statuses and the carry-forward below still applies, which
+    # is also what keeps this path crash-free where a schema-inferring
+    # Spark read would raise UNABLE_TO_INFER_SCHEMA.
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    written: set = set()
+    overflow: list = []
+    for f in sorted(
+        _glob.glob(os.path.join(root, rel, "host_bucket=*", "*.parquet"))
+    ):
+        b = int(f.split("host_bucket=")[1].split(os.sep)[0])
+        t = _pq.read_table(f, columns=["status"])
+        for i in range(t.num_rows):
+            written.add(b)
+            if str(t["status"][i]) == "overflow":
+                overflow.append(b)
 
     if overflow:
         full = io.read_appended(spark, "url_seen", cycle, schemas.URL_SEEN)
