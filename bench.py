@@ -378,6 +378,9 @@ def write_md(result: dict) -> None:
     lines += [
         "Produced by `python bench.py --write-md`. Methodology notes:",
         "",
+        "- Round-4 headline-regression attribution (interleaved same-window",
+        "  A/B vs the round-2 tree + per-stage ticks, and the",
+        "  rebuild_filters fix it led to): docs/BENCH_ATTRIBUTION_r4.md.",
         "- Timed region = the cycle loop only (JVM startup, fixture",
         "  generation, one-time corpus prep, and machinery warmup excluded",
         "  per BASELINE.md).",

@@ -1570,6 +1570,47 @@ FROM s
 """
 
 
+def q_benchmark_decontaminate(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the training-data op every LLM pipeline
+    runs before training: flag training documents sharing any 5-gram with
+    the held-out eval set (here: doc_id < 20 plays the benchmark), with the
+    overlap count per contaminated doc. Scale shape: the eval side's
+    distinct shingles are a SMALL set — broadcast left-semi join against
+    the exploded train shingles (never a shuffle of the corpus side, never
+    all-pairs), then one count-distinct per doc. At 100 TB the train side
+    streams map-side through the broadcast hash set; only the tiny hit set
+    shuffles into the per-doc count."""
+    d = _t(spark, sf_dir, "documents")
+    sh5 = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 5 THEN "
+        " transform(sequence(1, size(split(text, ' ')) - 4), "
+        "   i -> array_join(slice(split(text, ' '), i, 5), ' ')) "
+        "ELSE array() END"
+    )
+    sh = d.select("doc_id", F.explode(sh5).alias("s"))
+    ev = sh.where("doc_id < 20").select("s").distinct()
+    tr = sh.where("doc_id >= 20")
+    return (
+        tr.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_hits"))
+    )
+
+
+SQL_BENCHMARK_DECONTAMINATE = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(words) - 3, 1)),
+                               i -> array_to_string(words[i:i+4], ' '))) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+), ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+   tr AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20)
+SELECT doc_id, COUNT(DISTINCT tr.s) AS n_hits
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY doc_id
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: token counts, avg token length, stopword ratio."""
     d = _t(spark, sf_dir, "documents")
@@ -2103,6 +2144,9 @@ REGISTRY: dict = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_pack": (q_token_pack, SQL_TOKEN_PACK),
     "token_pack_sharded": (q_token_pack_sharded, SQL_TOKEN_PACK_SHARDED),
+    "benchmark_decontaminate": (
+        q_benchmark_decontaminate, SQL_BENCHMARK_DECONTAMINATE,
+    ),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),

@@ -287,3 +287,26 @@ def test_crawl_schedule_c1_matches_refspec_exact(spark):
     )
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_approx_distinct_users_within_hll_error_of_exact(spark, con):
+    """Bounded local oracle for the rows-only approx_distinct_users entry:
+    the HLL++ estimate per event_type must sit within the sketch's default
+    relative error (rsd 0.05; assert a generous 3x band) of DuckDB's EXACT
+    distinct count — the strongest portable check for an approximate
+    aggregate whose exact value is engine-specific by design."""
+    fn, _ = _registry()["approx_distinct_users"]
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        t: n
+        for t, n in con.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
+            "GROUP BY event_type"
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        assert abs(got[t] - n) <= max(2, 0.15 * n), (t, got[t], n)
