@@ -1252,11 +1252,16 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     )
 
     # deterministic seed order: md5 of the vec id (both engines hash the
-    # same decimal string); k = rank 0.._KM_K-1
-    wseed = Window.orderBy(F.md5(F.col("vec_id").cast("string")))
-    seeds = (
-        base.withColumn("k", F.row_number().over(wseed) - 1)
-        .where(F.col("k") < _KM_K)
+    # same decimal string); k = rank 0.._KM_K-1. orderBy().limit(K) — NOT a
+    # global row_number window — compiles to TakeOrderedAndProject (per-
+    # partition top-K then a K-row driver merge), so seeding never sorts
+    # the corpus in one task; the ranking window then runs over K rows.
+    md5c = F.md5(F.col("vec_id").cast("string"))
+    topk = base.select("vec_id", "lv", md5c.alias("_m")).orderBy("_m").limit(
+        _KM_K
+    )
+    seeds = topk.withColumn(
+        "k", F.row_number().over(Window.orderBy("_m")) - 1
     )
     cent = seeds.select(
         "k", F.posexplode("lv").alias("d", "s"), F.lit(1).alias("n")

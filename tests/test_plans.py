@@ -121,6 +121,17 @@ def test_token_pack_sharded_window_partitions_on_both_keys(spark):
     ), "\n".join(spec_lines)
 
 
+def test_ivf_trained_seeding_avoids_global_sort(spark):
+    """The k-means seed selection must compile to TakeOrderedAndProject
+    (per-partition top-K + K-row merge), never a full global Sort feeding
+    a single-task row_number window — at corpus scale that window IS a
+    sort of the whole corpus on one task."""
+    from frontier_engine.queries import q_ann_ivf_trained_topk
+
+    plan = _plan(q_ann_ivf_trained_topk(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_ann_corpus_multiprobe_partition_pruned(spark):
     """The multiprobe of the engine's own ann_index must stay a
     PARTITION-PRUNED scan: the probe cells are plan-time literals, so the
