@@ -70,6 +70,12 @@ class EngineConfig:
     # language ID / MinHash-LSH near-dup group). Off by default: it is
     # value-add output beyond the frontier metric, not cycle bookkeeping.
     enrich_pages: bool = False
+    # RFC 9309 robots decision instead of the prefix-only disallow filter:
+    # among all (allow, disallow) rules whose prefix matches the path, the
+    # longest wins and allow wins length ties (a robots table without an
+    # `allow` column behaves as all-empty allows, i.e. identical to the
+    # default mode). Golden-checked vs the refspec mirror.
+    robots_rfc: bool = False
     # every N cycles (0 = off; needs enrich_pages), run the FULL near-dup
     # closure over the accumulated corpus: large-star/small-star connected
     # components (graph.py, O(log n) rounds) over the union of all cycles'

@@ -23,12 +23,25 @@ def budgets_df(spark, budgets: dict[str, int]) -> DataFrame:
     return spark.createDataFrame(rows, "host string, budget int")
 
 
-def apply_robots(pending: DataFrame, robots: DataFrame) -> DataFrame:
-    """Adds boolean ``blocked``: any robots disallow prefix matches the path.
+def apply_robots(
+    pending: DataFrame, robots: DataFrame, rfc: bool = False
+) -> DataFrame:
+    """Adds boolean ``blocked``.
 
-    Hosts without a robots row are unblocked (left join, null-safe).
+    Default mode: any disallow prefix matches the path (the reference's
+    SkipContainer shape). ``rfc=True`` runs the RFC 9309 decision over
+    (allow, disallow) rule arrays: the MOST SPECIFIC (longest) matching
+    rule wins and allow wins length ties — computed entirely with
+    higher-order array functions (filter + aggregate max-length) inside
+    the same broadcast join, so the RFC upgrade costs no extra shuffle
+    and no Python. A robots table without an ``allow`` column behaves as
+    all-empty allows. Hosts without a robots row are unblocked (left
+    join, null-safe).
     """
-    r = robots.select("host", "disallow")
+    has_allow = rfc and "allow" in robots.columns
+    r = robots.select(
+        "host", "disallow", *(["allow"] if has_allow else [])
+    )
     # path extraction mirrors refspec's path_of (urlsplit().path or "/"),
     # NOT F.parse_url: java.net.URI returns NULL for URLs it can't parse
     # (e.g. raw spaces canonicalize() preserves verbatim), which would
@@ -43,17 +56,32 @@ def apply_robots(pending: DataFrame, robots: DataFrame) -> DataFrame:
     ).otherwise(no_scheme)
     path = F.substring_index(no_auth, "?", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    return (
-        pending.join(F.broadcast(r), "host", "left")
-        .withColumn("_path", path)
-        .withColumn(
-            "blocked",
-            F.coalesce(
-                F.exists("disallow", lambda d: F.col("_path").startswith(d)),
-                F.lit(False),
-            ),
+    joined = pending.join(F.broadcast(r), "host", "left").withColumn(
+        "_path", path
+    )
+    if rfc:
+        empty = F.array().cast("array<string>")
+
+        def longest_match(col):
+            return F.aggregate(
+                F.filter(
+                    F.coalesce(col, empty),
+                    lambda x: F.col("_path").startswith(x),
+                ),
+                F.lit(0),
+                lambda acc, x: F.greatest(acc, F.length(x)),
+            )
+
+        alw = F.col("allow") if has_allow else empty
+        blocked = longest_match(F.col("disallow")) > longest_match(alw)
+    else:
+        blocked = F.coalesce(
+            F.exists("disallow", lambda d: F.col("_path").startswith(d)),
+            F.lit(False),
         )
-        .drop("disallow", "_path")
+    return (
+        joined.withColumn("blocked", blocked)
+        .drop("disallow", "_path", *(["allow"] if has_allow else []))
     )
 
 

@@ -243,6 +243,73 @@ WHERE NOT (source LIKE 'src1%' OR source LIKE 'src3%')
 """
 
 
+# RFC 9309 rule set for robots_longest_match (shared Spark/SQL literals):
+# (rule prefix, is_allow). Most-specific (longest) matching rule wins;
+# allow wins length ties; no match => allowed.
+_ROBOTS_RULES = [
+    ("/d/", 0),
+    ("/d/1", 1),
+    ("/d/12", 0),
+    ("/d/3", 0),
+    ("/d/33", 1),
+]
+
+
+def q_robots_longest_match(spark, sf_dir):
+    """RFC 9309 robots decision — the REAL robots algorithm, beyond the
+    engine's prefix-array filter: among all rules whose prefix matches the
+    URL path, the MOST SPECIFIC (longest) wins, allow beats disallow on
+    length ties, and an unmatched path is allowed. Implemented as the
+    argmax-by-specificity pattern: broadcast the tiny rule dim, keep
+    matching rules, one row_number window per path keyed (rule length
+    DESC, allow DESC), rank 1 decides. Scales: the URL side streams
+    through a broadcast join (never shuffles for the rules); the window
+    partitions on the URL key so no task ever holds more than one URL's
+    matched rules."""
+    d = _t(spark, sf_dir, "documents")
+    paths = d.select(
+        "doc_id",
+        F.concat(F.lit("/d/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    rules = spark.createDataFrame(_ROBOTS_RULES, "rule STRING, is_allow INT")
+    m = (
+        paths.join(F.broadcast(rules), F.col("path").startswith(F.col("rule")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.length("rule").desc(), F.col("is_allow").desc()
+                )
+            ),
+        )
+        .where("rk = 1")
+        .select("doc_id", "rule", "is_allow")
+    )
+    return (
+        paths.join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            "path",
+            F.coalesce("rule", F.lit("")).alias("winning_rule"),
+            (F.coalesce("is_allow", F.lit(1)) == 1).alias("allowed"),
+        )
+    )
+
+
+SQL_ROBOTS_LONGEST_MATCH = (
+    "WITH paths AS (SELECT doc_id, '/d/' || doc_id AS path FROM documents), "
+    "rules(rule, is_allow) AS (VALUES "
+    + ", ".join(f"('{r}', {a})" for r, a in _ROBOTS_RULES)
+    + "), m AS (SELECT doc_id, rule, is_allow, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY length(rule) DESC, is_allow DESC) AS rk "
+    "FROM paths JOIN rules ON starts_with(path, rule)) "
+    "SELECT p.doc_id, p.path, COALESCE(m.rule, '') AS winning_rule, "
+    "COALESCE(m.is_allow, 1) = 1 AS allowed "
+    "FROM paths p LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (doc_id)"
+)
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (joins / aggs / sorts on the star schema)
 # ---------------------------------------------------------------------------
@@ -1575,6 +1642,88 @@ FROM s
 """
 
 
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000  # rank fixed-point scale; base = floor(0.15 * scale)
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Iterative host-authority rank — the crawl-prioritization signal
+    (PageRank/OPIC family) over the host link graph, computed in FIXED-
+    POINT INTEGER arithmetic so every iteration is aggregation-order-exact
+    and the whole recursion stays DuckDB-oracle-checked (same discipline
+    as the trained-IVF k-means): rank0 = 1e6; each round
+    rank_v = 150000 + (17 * Σ_u->v (rank_u div outdeg_u)) div 20
+    (i.e. damping 0.85 with floor division — pure int64, no float sums).
+    Graph: one deterministic edge per doc, host(doc) -> host(doc*31+7),
+    deduplicated. Scale shape: the rank table is host-cardinality (tiny
+    vs the corpus) — each round is one broadcast join of ranks onto
+    edges + one partial-agg shuffle keyed by dst; 3 unrolled rounds keep
+    Catalyst's whole plan visible. At web scale this runs on the
+    host-level graph (~10^7 rows for 10^10 URLs), not per-URL."""
+    d = _t(spark, sf_dir, "documents")
+    edges = (
+        d.select(
+            (F.col("doc_id") % 20).cast("long").alias("src"),
+            ((F.col("doc_id") * 31 + 7) % 20).cast("long").alias("dst"),
+        )
+        .where("src <> dst")
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hosts = edges.select(F.col("src").alias("host")).unionByName(
+        edges.select(F.col("dst").alias("host"))
+    ).distinct()
+    ranks = hosts.select("host", F.lit(_PR_SCALE).cast("long").alias("rnk"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.host)
+            .join(F.broadcast(outdeg), "src")
+            .select(
+                "dst", F.expr("rnk div deg").cast("long").alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            hosts.join(
+                F.broadcast(contrib), hosts.host == contrib.dst, "left"
+            )
+            .select(
+                "host",
+                (
+                    F.lit(150000)
+                    + F.expr("(17 * coalesce(s, 0)) div 20")
+                ).cast("long").alias("rnk"),
+            )
+        )
+    return ranks.select("host", F.col("rnk").alias("rank"))
+
+
+def _sql_host_pagerank() -> str:
+    sq = (
+        "WITH edges AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS src, "
+        "CAST((doc_id * 31 + 7) % 20 AS BIGINT) AS dst FROM documents "
+        "WHERE doc_id % 20 <> (doc_id * 31 + 7) % 20), "
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src), "
+        "hosts AS (SELECT src AS host FROM edges "
+        "UNION SELECT dst FROM edges), "
+        f"r0 AS (SELECT host, CAST({_PR_SCALE} AS BIGINT) AS rank FROM hosts)"
+    )
+    for i in range(_PR_ITERS):
+        sq += (
+            f", c{i+1} AS (SELECT e.dst, SUM(r.rank // o.deg) AS s "
+            f"FROM edges e JOIN r{i} r ON e.src = r.host "
+            "JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
+            f", r{i+1} AS (SELECT h.host, CAST(150000 + "
+            f"(17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank "
+            f"FROM hosts h LEFT JOIN c{i+1} c ON h.host = c.dst)"
+        )
+    return sq + f" SELECT host, rank FROM r{_PR_ITERS}"
+
+
+SQL_HOST_PAGERANK = _sql_host_pagerank()
+
+
 def q_benchmark_decontaminate(spark, sf_dir):
     """Benchmark DECONTAMINATION — the training-data op every LLM pipeline
     runs before training: flag training documents sharing any 5-gram with
@@ -2099,6 +2248,7 @@ REGISTRY: dict = {
     "incremental_scan": (q_incremental_scan, SQL_INCREMENTAL_SCAN),
     "set_except_users": (q_set_except_users, SQL_SET_EXCEPT_USERS),
     "robots_prefix_filter": (q_robots_prefix_filter, SQL_ROBOTS_PREFIX_FILTER),
+    "robots_longest_match": (q_robots_longest_match, SQL_ROBOTS_LONGEST_MATCH),
     # the crawl pipeline itself (+ similarity search over its own corpus).
     # Deliberately EARLY in the registry: these build the shared cached
     # engine snapshot (_entry_engine), the one expensive step in the
@@ -2152,6 +2302,7 @@ REGISTRY: dict = {
     "benchmark_decontaminate": (
         q_benchmark_decontaminate, SQL_BENCHMARK_DECONTAMINATE,
     ),
+    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID_HEURISTIC),

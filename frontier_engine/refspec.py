@@ -128,7 +128,10 @@ def run(
     resume-equivalence test (run 1..k, then k+1..n must equal 1..n).
     """
     pages = load_pages_lookup(pages_rows)
-    robots = {r["host"]: list(r["disallow"]) for r in robots_rows}
+    robots = {
+        r["host"]: (list(r["disallow"]), list(r.get("allow") or []))
+        for r in robots_rows
+    }
     delays = {
         r["host"]: int(r.get("crawl_delay_ms") or 0) for r in robots_rows
     }
@@ -198,9 +201,16 @@ def run(
         # -- 3. robots ---------------------------------------------------
         for h in list(pending.keys()):
             row = pending[h]
-            dis = robots.get(row.host, [])
+            dis, alw = robots.get(row.host, ([], []))
             p = path_of(row.url_canon)
-            if any(p.startswith(d) for d in dis):
+            if cfg.robots_rfc:
+                # RFC 9309: longest matching rule wins, allow wins ties
+                ld = max((len(d) for d in dis if p.startswith(d)), default=0)
+                la = max((len(a) for a in alw if p.startswith(a)), default=0)
+                is_blocked = ld > la
+            else:
+                is_blocked = any(p.startswith(d) for d in dis)
+            if is_blocked:
                 bump(row.host_bucket, "robots_skipped")
                 res.resolved[h] = "skipped"
                 del pending[h]

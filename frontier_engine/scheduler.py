@@ -371,7 +371,9 @@ class FrontierScheduler:
         tick("dedup+union pending", pending_all)
 
         # ---- 2. robots (SkipContainer analog) -----------------------------
-        with_robots = apply_robots(pending_all, self.robots)
+        with_robots = apply_robots(
+            pending_all, self.robots, rfc=cfg.robots_rfc
+        )
         skipped = with_robots.where("blocked")
         eligible = with_robots.where("NOT blocked").drop("blocked")
 

@@ -478,3 +478,81 @@ def test_consolidation_resume_golden(
     st = spark_trace(spark, eng2.io, range(1, 4))
     st_plain, _, _, _ = golden
     assert diff_traces(st, st_plain) == []
+
+
+def test_orphan_dirs_from_crashed_commit_ignored(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """The manifest is the checkpoint barrier: a crash AFTER a cycle's data
+    dirs are written but BEFORE its manifest publish must leave the run
+    resumable at the previous cycle, with the orphan dirs fully replaced
+    (never unioned) by the re-run — the reference's write-status-only-on-
+    success discipline (base_handler.py ≈L25-45) at table granularity."""
+    import os as _os
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = config_for_fixture(fix)
+    work = str(tmp_path_factory.mktemp("engine-crash"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run_cycle(1)
+    eng.run_cycle(2)
+
+    # simulate the crash: cycle-2 data dirs exist, manifest does not
+    _os.remove(eng.io._manifest_path(2))
+    poison = _os.path.join(work, "scheduled", "cycle=2", "POISON")
+    open(poison, "w").close()  # orphan contamination marker
+
+    eng2 = build_engine(spark, tiny_fixture_dir, work, cfg)
+    assert eng2.io.latest_cycle() == 1  # torn cycle invisible
+    eng2.run_cycle(2, build_filters=False)
+    assert not _os.path.exists(poison)  # orphan REPLACED, not appended to
+
+    st = spark_trace(spark, eng2.io, range(1, 3))
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    rt = ref_trace(run(pages, seeds, robots, cfg, cycles=2))
+    assert diff_traces(st, rt) == []
+
+
+def test_robots_rfc_golden(spark, tiny_fixture_dir, tmp_path_factory):
+    """RFC 9309 robots mode (cfg.robots_rfc): allow rules override shorter
+    disallows (longest match wins, allow wins ties). The engine trace must
+    exactly equal the refspec mirror AND genuinely diverge from prefix-only
+    mode (fewer robots skips: /p/1* paths on /p/-disallowed hosts open up)."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(config_for_fixture(fix), robots_rfc=True)
+    work = str(tmp_path_factory.mktemp("engine-rfc-robots"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.robots = eng.robots.withColumn(
+        "allow",
+        F.when(
+            F.array_contains("disallow", "/p/"), F.array(F.lit("/p/1"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    eng.run(cycles=2)
+    st = spark_trace(spark, eng.io, range(1, 3))
+
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    robots_rfc = [
+        dict(r, allow=(["/p/1"] if "/p/" in list(r["disallow"]) else []))
+        for r in robots
+    ]
+    rt = ref_trace(run(pages, seeds, robots_rfc, cfg, cycles=2))
+    assert diff_traces(st, rt) == []
+
+    def skips(res_lineage):
+        return sum(
+            v["robots_skipped"]
+            for lin in res_lineage.values()
+            for v in lin.values()
+        )
+
+    prefix_res = run(
+        pages, seeds, robots,
+        dataclasses.replace(cfg, robots_rfc=False), cycles=2,
+    )
+    assert skips(rt["lineage"]) < skips(prefix_res.lineage)  # real divergence
+    assert skips(rt["lineage"]) > 0  # non-/p/1 paths still blocked
