@@ -70,6 +70,22 @@ class EngineConfig:
     # language ID / MinHash-LSH near-dup group). Off by default: it is
     # value-add output beyond the frontier metric, not cycle bookkeeping.
     enrich_pages: bool = False
+    # every N cycles (0 = off), compute the fixed-point-integer host
+    # authority rank (graph.integer_pagerank — the SAME transform the
+    # driver's host_pagerank query oracle-checks) over the accumulated
+    # host link graph and commit it as a host_rank table. Edges are
+    # harvested at INGEST (parent host -> canonicalized link host) where
+    # canonicalization is already paid, committed per cycle as the tiny
+    # distinct host_edges table. Output-only: crawl traces are unchanged
+    # (golden-pinned); a deployment would feed rnk into seed priorities.
+    host_rank_every: int = 0
+    # close the authority loop (needs host_rank_every): discovered
+    # candidates get +min(2, rnk(host) div PR_SCALE) priority (cap 100)
+    # from the LATEST committed host_rank build — authoritative hosts'
+    # URLs jump the politeness queue. Trace-AFFECTING: golden-checked
+    # against the refspec mirror, which maintains the same edge set and
+    # integer rank.
+    host_rank_priority: bool = False
     # RFC 9309 robots decision instead of the prefix-only disallow filter:
     # among all (allow, disallow) rules whose prefix matches the path, the
     # longest wins and allow wins length ties (a robots table without an

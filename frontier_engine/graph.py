@@ -32,6 +32,65 @@ data dies with an executor; the round restarts from the last checkpoint).
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+PR_SCALE = 1_000_000  # fixed-point rank scale; base = floor(0.15 * scale)
+
+
+def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """PageRank-family authority rank in FIXED-POINT INTEGER arithmetic:
+    rank0 = PR_SCALE per node; each round
+    ``rank_v = 150000 + (17 * Σ_{u->v} (rank_u div outdeg_u)) div 20``
+    (damping 0.85 via floor divisions). Integer sums are associative, so
+    every round is aggregation-order-exact — the same oracle-exactness
+    discipline as the quantized k-means. ``edges`` needs (src, dst);
+    self-loops and duplicates are dropped. Returns (host, rnk).
+
+    Scale shape: rank state is node-cardinality (hosts, not URLs); each
+    round broadcasts it onto the edge list and runs one dst-keyed partial
+    aggregation. Rounds are unrolled into one Catalyst plan."""
+    e = edges.where(F.col("src") != F.col("dst")).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hosts = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    ranks = hosts.select("host", F.lit(PR_SCALE).cast("long").alias("rnk"))
+    for _ in range(iters):
+        contrib = (
+            e.join(F.broadcast(ranks), e.src == ranks.host)
+            .join(F.broadcast(outdeg), "src")
+            .select("dst", F.expr("rnk div deg").cast("long").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = hosts.join(
+            F.broadcast(contrib), hosts.host == contrib.dst, "left"
+        ).select(
+            "host",
+            (F.lit(150000) + F.expr("(17 * coalesce(s, 0)) div 20"))
+            .cast("long")
+            .alias("rnk"),
+        )
+    return ranks
+
+
+def integer_pagerank_py(edge_list, iters: int = 3) -> dict:
+    """Pure-Python twin of integer_pagerank (golden oracle)."""
+    e = sorted({(s, d) for s, d in edge_list if s != d})
+    outdeg: dict = {}
+    nodes = set()
+    for s, d in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    rnk = {n: PR_SCALE for n in nodes}
+    for _ in range(iters):
+        s_in: dict = {}
+        for s, d in e:
+            s_in[d] = s_in.get(d, 0) + rnk[s] // outdeg[s]
+        rnk = {n: 150000 + (17 * s_in.get(n, 0)) // 20 for n in nodes}
+    return rnk
+
 
 def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
     """Canonical undirected edges: u = max, v = min, self-loops dropped."""

@@ -1643,63 +1643,37 @@ FROM s
 
 
 _PR_ITERS = 3
-_PR_SCALE = 1_000_000  # rank fixed-point scale; base = floor(0.15 * scale)
 
 
 def q_host_pagerank(spark, sf_dir):
     """Iterative host-authority rank — the crawl-prioritization signal
-    (PageRank/OPIC family) over the host link graph, computed in FIXED-
-    POINT INTEGER arithmetic so every iteration is aggregation-order-exact
-    and the whole recursion stays DuckDB-oracle-checked (same discipline
-    as the trained-IVF k-means): rank0 = 1e6; each round
+    (PageRank/OPIC family) over the host link graph, via the SHARED
+    fixed-point integer implementation `graph.integer_pagerank` (the same
+    transform the engine commits as the host_rank table,
+    cfg.host_rank_every): rank0 = 1e6; each round
     rank_v = 150000 + (17 * Σ_u->v (rank_u div outdeg_u)) div 20
-    (i.e. damping 0.85 with floor division — pure int64, no float sums).
-    Graph: one deterministic edge per doc, host(doc) -> host(doc*31+7),
-    deduplicated. Scale shape: the rank table is host-cardinality (tiny
-    vs the corpus) — each round is one broadcast join of ranks onto
-    edges + one partial-agg shuffle keyed by dst; 3 unrolled rounds keep
-    Catalyst's whole plan visible. At web scale this runs on the
-    host-level graph (~10^7 rows for 10^10 URLs), not per-URL."""
+    (damping 0.85 with floor division — pure int64, no float sums), so
+    every iteration is aggregation-order-exact and the whole recursion
+    stays DuckDB-oracle-checked (same discipline as the trained-IVF
+    k-means). Graph: one deterministic edge per doc,
+    host(doc) -> host(doc*31+7). Scale shape: rank state is
+    host-cardinality — each round broadcasts it onto the edges + one
+    dst-keyed partial agg; 3 unrolled rounds, one Catalyst plan."""
+    from .graph import integer_pagerank
+
     d = _t(spark, sf_dir, "documents")
-    edges = (
-        d.select(
-            (F.col("doc_id") % 20).cast("long").alias("src"),
-            ((F.col("doc_id") * 31 + 7) % 20).cast("long").alias("dst"),
-        )
-        .where("src <> dst")
-        .distinct()
+    edges = d.select(
+        (F.col("doc_id") % 20).cast("long").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 20).cast("long").alias("dst"),
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    hosts = edges.select(F.col("src").alias("host")).unionByName(
-        edges.select(F.col("dst").alias("host"))
-    ).distinct()
-    ranks = hosts.select("host", F.lit(_PR_SCALE).cast("long").alias("rnk"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.host)
-            .join(F.broadcast(outdeg), "src")
-            .select(
-                "dst", F.expr("rnk div deg").cast("long").alias("c")
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            hosts.join(
-                F.broadcast(contrib), hosts.host == contrib.dst, "left"
-            )
-            .select(
-                "host",
-                (
-                    F.lit(150000)
-                    + F.expr("(17 * coalesce(s, 0)) div 20")
-                ).cast("long").alias("rnk"),
-            )
-        )
-    return ranks.select("host", F.col("rnk").alias("rank"))
+    return integer_pagerank(edges, _PR_ITERS).select(
+        "host", F.col("rnk").alias("rank")
+    )
 
 
 def _sql_host_pagerank() -> str:
+    from .graph import PR_SCALE as _PR_SCALE
+
     sq = (
         "WITH edges AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS src, "
         "CAST((doc_id * 31 + 7) % 20 AS BIGINT) AS dst FROM documents "

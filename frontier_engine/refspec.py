@@ -50,6 +50,10 @@ from .extract import discover_links, ref_extract
 from .fixtures import T0
 from .xxh import pmod_bucket, xxhash64_str
 
+# fixed-point rank scale — MUST equal graph.PR_SCALE (pinned by a unit
+# test; literal here keeps this module import-free of pyspark)
+_PR_SCALE = 1_000_000
+
 LINEAGE_FIELDS = (
     "rows_scanned",
     "enqueued",
@@ -94,6 +98,11 @@ class RefResult:
     # host -> (scheduled_n, errors_n) of the LAST completed cycle
     # (error-backoff bookkeeping; carried so split runs resume exactly)
     host_stats_prev: dict = field(default_factory=dict)
+    # accumulated distinct (src_host, dst_host) link-graph edges and the
+    # host -> fixed-point rank of the LATEST completed rank build
+    # (host_rank_every bookkeeping; carried so split runs resume exactly)
+    host_edges: set = field(default_factory=set)
+    host_rank: dict = field(default_factory=dict)
 
 
 def _epoch_us(dt) -> int:
@@ -159,8 +168,10 @@ def run(
         # while its latest admission cycle > k - ttl; URLs still pending
         # are always blocked (they were admitted and not yet resolved)
         ttl = cfg.recrawl_after_cycles
+        hre = cfg.host_rank_every
         grouped: dict[int, PendingRow] = {}
-        for raw, prio, dts in discoveries:
+        for tup in discoveries:
+            raw, prio, dts, src = (tuple(tup) + (None,))[:4]
             try:
                 c = canonicalize(raw)
             except ValueError:  # unparseable href — dropped, like the engine
@@ -168,6 +179,16 @@ def run(
             h = xxhash64_str(c)
             host = host_of(c)
             bucket = pmod_bucket(host, cfg.n_buckets)
+            if hre and src is not None and src != host:
+                res.host_edges.add((src, host))
+            if cfg.host_rank_priority and src is not None:
+                # authority boost from the latest committed rank build
+                # (<= previous cycle): +min(2, rnk div PR_SCALE), cap 100
+                prio = min(
+                    100,
+                    prio
+                    + min(2, res.host_rank.get(host, 0) // _PR_SCALE),
+                )
             if h in seen and (
                 ttl is None or res.seen_cycle[h] > k - ttl or h in pending
             ):
@@ -291,10 +312,19 @@ def run(
             del pending[row.url_hash]
             child_prio = max(0, row.priority - cfg.link_priority_decay)
             for href in discover_links(html):
-                next_discoveries.append((href, child_prio, next_dts))
+                next_discoveries.append(
+                    (href, child_prio, next_dts, row.host)
+                )
 
         res.lineage[k] = lin
         res.host_stats_prev = {h: tuple(v) for h, v in host_stats.items()}
+        if hre and k % hre == 0:
+            # rank build over all edges harvested through THIS cycle —
+            # consumed by ingest from the NEXT cycle on (mirrors the
+            # engine's committed host_rank table read from manifests)
+            from .graph import integer_pagerank_py
+
+            res.host_rank = integer_pagerank_py(res.host_edges)
         discoveries = next_discoveries
 
     res.carry_discoveries = discoveries  # type: ignore[attr-defined]

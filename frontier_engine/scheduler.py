@@ -209,10 +209,22 @@ class FrontierScheduler:
                 "url",
                 F.col("priority").cast("int").alias("priority"),
                 F.lit(T0).cast("timestamp").alias("discovered_ts"),
+                F.lit(None).cast("string").alias("src_host"),
             )
         return self.io.read_cycle(
             self.spark, "discoveries", cycle - 1, schemas.DISCOVERIES
         )
+
+    def _latest_host_rank(self, cycle: int) -> DataFrame | None:
+        """Newest committed host_rank table at a cycle <= cycle-1 (manifest
+        walk only — no data reads until the caller joins it)."""
+        for c in range(cycle - 1, 0, -1):
+            m = self.io.manifest(c)
+            if m and "host_rank" in m.get("tables", {}):
+                return self.io.read_cycle(
+                    self.spark, "host_rank", c, schemas.HOST_RANK
+                )
+        return None
 
     def _auto_salt(self, cycle: int) -> int:
         """Physical salt from OBSERVED skew (cfg.auto_salt): the previous
@@ -309,11 +321,46 @@ class FrontierScheduler:
                 F.col("_ch.host").alias("host"),
                 F.col("priority").cast("int").alias("priority"),
                 "discovered_ts",
+                "src_host",
             )
             .where(F.col("url_canon").isNotNull())  # unparseable hrefs drop
             .withColumn("url_hash", F.xxhash64("url_canon"))
             .withColumn("host_bucket", _bucket(F.col("host"), cfg.n_buckets))
         )
+        if cfg.host_rank_priority:
+            # authority loop: boost discovered candidates by the LATEST
+            # committed host_rank build (broadcast host-cardinality dim —
+            # never a corpus shuffle). Seeds (src_host null) are never
+            # boosted; the boost lands BEFORE the within-batch max-priority
+            # dedup, exactly like the refspec mirror.
+            from .graph import PR_SCALE
+
+            rank_df = self._latest_host_rank(cycle)
+            if rank_df is not None:
+                rdim = rank_df.select(
+                    F.col("host").alias("_rh"), "rnk"
+                )
+                boost = F.when(
+                    F.col("src_host").isNotNull(),
+                    F.least(
+                        F.lit(2),
+                        F.expr(f"coalesce(rnk, 0) div {PR_SCALE}"),
+                    ),
+                ).otherwise(F.lit(0))
+                cand = (
+                    cand.join(
+                        F.broadcast(rdim),
+                        cand.host == rdim._rh,
+                        "left",
+                    )
+                    .withColumn(
+                        "priority",
+                        F.least(
+                            F.lit(100), F.col("priority") + boost
+                        ).cast("int"),
+                    )
+                    .drop("_rh", "rnk")
+                )
         cand.persist()
         tick("ingest: candidates", cand)
 
@@ -475,6 +522,7 @@ class FrontierScheduler:
                 F.col("priority") - cfg.link_priority_decay, F.lit(0)
             ).cast("int").alias("priority"),
             F.lit(next_dts).cast("timestamp").alias("discovered_ts"),
+            F.col("host").alias("src_host"),
         )
 
         # ---- 5. outputs -----------------------------------------------------
@@ -685,6 +733,38 @@ class FrontierScheduler:
                 aidx.repartition(1 << N_HYPER, "cell"),
                 ["cell"],
             )
+
+        if cfg.host_rank_every:
+            # host link-graph edges, harvested HERE because ingest already
+            # paid the canonicalization: parent host -> canonical link
+            # host, distinct (tiny: bounded by hosts^2, committed per
+            # cycle). Every host_rank_every-th cycle, the fixed-point
+            # integer PageRank (graph.integer_pagerank — the transform the
+            # driver's host_pagerank query oracle-checks) runs over ALL
+            # cycles' edges and commits host_rank. Output-only: the crawl
+            # trace never depends on it (golden-pinned).
+            host_edges_delta = (
+                cand.where(
+                    F.col("src_host").isNotNull()
+                    & (F.col("src_host") != F.col("host"))
+                )
+                .select("src_host", F.col("host").alias("dst_host"))
+                .distinct()
+            )
+            tables["host_edges"] = (host_edges_delta.coalesce(4), None)
+            if cycle % cfg.host_rank_every == 0:
+                from .graph import integer_pagerank
+
+                all_edges = io.read_appended(
+                    spark, "host_edges", cycle - 1, schemas.HOST_EDGES
+                ).unionByName(host_edges_delta)
+                ranks = integer_pagerank(
+                    all_edges.select(
+                        F.col("src_host").alias("src"),
+                        F.col("dst_host").alias("dst"),
+                    )
+                )
+                tables["host_rank"] = (ranks.coalesce(1), None)
 
         meta = {}
         if meta_nd_rounds is not None:

@@ -109,6 +109,23 @@ DISCOVERIES = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("priority", T.IntegerType()),
         T.StructField("discovered_ts", T.TimestampType()),
+        # parent page's host (null for seeds / pre-upgrade dirs): the
+        # host-graph edge source harvested at ingest for host_rank
+        T.StructField("src_host", T.StringType()),
+    ]
+)
+
+HOST_EDGES = T.StructType(
+    [
+        T.StructField("src_host", T.StringType()),
+        T.StructField("dst_host", T.StringType()),
+    ]
+)
+
+HOST_RANK = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("rnk", T.LongType()),
     ]
 )
 

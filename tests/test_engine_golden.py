@@ -556,3 +556,89 @@ def test_robots_rfc_golden(spark, tiny_fixture_dir, tmp_path_factory):
     )
     assert skips(rt["lineage"]) < skips(prefix_res.lineage)  # real divergence
     assert skips(rt["lineage"]) > 0  # non-/p/1 paths still blocked
+
+
+def test_host_rank_stage_matches_python_pagerank(
+    spark, tiny_fixture_dir, golden, tmp_path_factory
+):
+    """Engine host-authority stage (cfg.host_rank_every): the committed
+    host_rank table at cycle 2 must EXACTLY equal the pure-Python integer
+    PageRank over the accumulated host_edges rows, and turning the stage
+    on must leave the crawl trace untouched (output-only)."""
+    import dataclasses
+
+    from frontier_engine import schemas
+    from frontier_engine.graph import integer_pagerank_py
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(config_for_fixture(fix), host_rank_every=2)
+    work = str(tmp_path_factory.mktemp("engine-hostrank"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=2)
+
+    edges = [
+        (r["src_host"], r["dst_host"])
+        for r in eng.io.read_appended(
+            spark, "host_edges", 2, schemas.HOST_EDGES
+        ).collect()
+    ]
+    assert len(edges) > 0
+    got = {
+        r["host"]: r["rnk"]
+        for r in eng.io.read_cycle(
+            spark, "host_rank", 2, schemas.HOST_RANK
+        ).collect()
+    }
+    want = integer_pagerank_py(edges)
+    assert got == want
+    assert len(got) > 1
+    assert len(set(got.values())) > 1  # ranks genuinely differentiate
+
+    st = spark_trace(spark, eng.io, range(1, 3))
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    rt = ref_trace(run(pages, seeds, robots, cfg, cycles=2))
+    assert diff_traces(st, rt) == []  # output-only: trace unchanged
+
+
+def test_host_rank_priority_golden(spark, tiny_fixture_dir, tmp_path_factory):
+    """The closed authority loop (cfg.host_rank_priority): discovered
+    candidates get a +min(2, rnk div PR_SCALE) priority boost from the
+    latest committed host_rank build. Trace-AFFECTING — the engine must
+    exactly equal the refspec mirror (which maintains the same edge set
+    and integer rank), and the boosted run must genuinely diverge from
+    the plain run's scheduled priorities."""
+    import dataclasses
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix), host_rank_every=1, host_rank_priority=True
+    )
+    work = str(tmp_path_factory.mktemp("engine-rankprio"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=3)
+    st = spark_trace(spark, eng.io, range(1, 4))
+
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    rt = ref_trace(run(pages, seeds, robots, cfg, cycles=3))
+    assert diff_traces(st, rt) == []
+
+    plain = run(
+        pages, seeds, robots, config_for_fixture(fix), cycles=3
+    )
+
+    def prio_multiset(sched):
+        return sorted(
+            t[3]
+            for cyc in sched.values()
+            for rows in cyc.values()
+            for t in rows
+        )
+
+    assert prio_multiset(rt["scheduled"]) != prio_multiset(plain.scheduled)
+
+
+def test_pr_scale_constants_match():
+    from frontier_engine.graph import PR_SCALE
+    from frontier_engine.refspec import _PR_SCALE
+
+    assert PR_SCALE == _PR_SCALE
