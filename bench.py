@@ -95,7 +95,7 @@ def ensure_corpus(n_urls: int) -> tuple[str, str]:
 
 def benchrun_subprocess(
     master: str, fix: str, pc: str, cycles: int,
-    default_budget: int | None = None,
+    default_budget: int | None = None, stages: bool = False,
 ) -> dict:
     """One fresh-JVM bench run; returns the parsed BENCHJSON dict."""
     cmd = [
@@ -105,6 +105,8 @@ def benchrun_subprocess(
     ]
     if default_budget is not None:
         cmd += ["--default-budget", str(default_budget)]
+    if stages:
+        cmd += ["--stages"]
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
     )
@@ -290,6 +292,17 @@ def main() -> None:
     salted["median_elapsed_sec"] = _median(salted["all_elapsed_sec"])
     frontier["salted_window"] = salted
 
+    # 1c. full value-add stage stack (corpus enrich + nd_bands, ANN index,
+    # near-dup closure, host-rank build) on the same corpus. The stages are
+    # OUTPUT-ONLY (trace identical, golden-pinned), so urls_per_sec stays
+    # comparable with the headline and the delta IS the stages' cost.
+    staged = best_of(
+        f"local[{cpus}]", fix, pc, cycles=3, repeats=2,
+        run=lambda m, f, p, c: benchrun_subprocess(m, f, p, c, stages=True),
+    )
+    staged["median_elapsed_sec"] = _median(staged["all_elapsed_sec"])
+    frontier["stages"] = staged
+
     # 2. scaling evidence N -> 4N
     if not args.skip_scaling:
         sfix, spc = ensure_corpus(n_scaling)
@@ -426,6 +439,25 @@ def write_md(result: dict) -> None:
             " (bounded budgets defer most of the frontier by design —",
             "  this measures the two-phase window's cost, not headline",
             "  throughput)",
+            "",
+        ]
+    stg = fr.get("stages")
+    if stg:
+        ratio = (
+            round(stg["elapsed_sec"] / head["elapsed_sec"], 2)
+            if head.get("elapsed_sec")
+            else None
+        )
+        lines += [
+            "## Full value-add stage stack (corpus enrich + nd_bands, ANN",
+            "index, near-dup closure, host-rank build; output-only — same",
+            "trace as the headline, so the delta IS the stages' cost)",
+            "",
+            f"- same corpus, 3 cycles: elapsed {stg['elapsed_sec']} s,"
+            f" {stg['urls_per_sec']:,} URLs/s"
+            f" (runs {stg['all_elapsed_sec']};"
+            f" median {stg.get('median_elapsed_sec')} s)",
+            f"- cost vs headline: {ratio}x elapsed",
             "",
         ]
     if sc:

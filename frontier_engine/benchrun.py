@@ -64,6 +64,7 @@ def run_once(
     cycles: int,
     default_budget: int,
     keep_workdir: str | None = None,
+    stages: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -85,6 +86,21 @@ def run_once(
         # pass; single exact window is the right plan here (config.py)
         politeness_salt=1 if default_budget >= 10**6 else 8,
     )
+    if stages:
+        # full value-add stage stack under bench load — OUTPUT-ONLY stages
+        # (the crawl trace is identical, golden-pinned), so urls_per_sec
+        # stays comparable with the headline and the delta IS the stages'
+        # cost: corpus enrichment + nd_bands, ANN index, periodic near-dup
+        # closure, host-rank build.
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg,
+            enrich_pages=True,
+            ann_index=True,
+            nd_closure_every=cycles,
+            host_rank_every=1,
+        )
     workdir = keep_workdir or tempfile.mkdtemp(prefix="frontier-bench-")
     io = TableIO(workdir)
     robots = spark.read.parquet(os.path.join(fixture_dir, "robots.parquet"))
@@ -133,6 +149,11 @@ def main() -> None:
     ap.add_argument("--cycles", type=int, default=1)
     ap.add_argument("--default-budget", type=int, default=10**9)
     ap.add_argument(
+        "--stages", action="store_true",
+        help="enable the output-only value-add stages (enrich/ann/"
+             "nd-closure/host-rank) to measure their cost",
+    )
+    ap.add_argument(
         "--keep-workdir",
         default=None,
         help="persist the run's committed tables here (determinism checks)",
@@ -141,6 +162,7 @@ def main() -> None:
     res = run_once(
         args.master, args.fixture, args.pages_canon, args.cycles,
         args.default_budget, keep_workdir=args.keep_workdir,
+        stages=args.stages,
     )
     print("BENCHJSON " + json.dumps(res), flush=True)
 

@@ -89,7 +89,12 @@ def band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return bands
 
 
-def enrich(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def enrich(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: DataFrame | None = None,
+) -> DataFrame:
     """Append the enrichment columns to ``df`` (keyed by ``id_col``).
 
     Plan shape: one projection for the scalar stats; for nd_group one
@@ -117,8 +122,14 @@ def enrich(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .alias("predicted_lang"),
     )
 
-    # near-dup group: min id over shared MinHash band buckets (one hop)
-    bands = band_keys(df, id_col, text_col)
+    # near-dup group: min id over shared MinHash band buckets (one hop).
+    # ``bands`` lets the caller pass an already-PERSISTED band_keys frame:
+    # the scheduler commits nd_bands AND derives nd_group from the same
+    # rows, and Spark's exchange reuse does not span separate write jobs —
+    # without sharing, each concurrent commit re-executes the whole
+    # shingle-explode + 8-agg signature pipeline.
+    if bands is None:
+        bands = band_keys(df, id_col, text_col)
     groups = bands.groupBy("band", "bkey").agg(F.min("_id").alias("g"))
     doc_g = (
         bands.join(groups, ["band", "bkey"])
@@ -166,19 +177,28 @@ def hyperplane_weights() -> list[list[float]]:
 
 
 def _emb_dims(text_col):
-    """EMB_DIM signed-count columns (feature hashing over words)."""
+    """EMB_DIM signed-count columns (feature hashing over words).
+
+    Each word is md5-hashed ONCE into its 2-hex-char (dim, sign) prefix;
+    the per-dim filters then compare those tiny strings. The earlier
+    spelling re-evaluated md5 inside every dim's filters — ~32 md5 calls
+    per word in the interpreted higher-order path, which made the
+    committed ANN stage the dominant cost of a stage-stack bench cycle
+    (244 s of a 260 s commit at 180k docs; same values either way —
+    embed_py / DuckDB twins unchanged)."""
     words = F.split(text_col, " ")
+    hashed = F.transform(words, lambda w: F.substring(F.md5(w), 1, 2))
 
     # NOTE: pyspark higher-order fns pass (element, index) to 2-arg lambdas,
     # so the dim must be captured via a closure factory, not a default arg
     def dim_pred(hexc):
-        return lambda w: F.substring(F.md5(w), 1, 1) == hexc
+        return lambda h: F.substring(h, 1, 1) == hexc
 
     dims = []
     for i in range(EMB_DIM):
-        in_dim = F.filter(words, dim_pred(_HEXD[i]))
+        in_dim = F.filter(hashed, dim_pred(_HEXD[i]))
         pos = F.size(
-            F.filter(in_dim, lambda w: F.substring(F.md5(w), 2, 1) < "8")
+            F.filter(in_dim, lambda h: F.substring(h, 2, 1) < "8")
         )
         dims.append((2 * pos - F.size(in_dim)).cast("double"))
     return dims

@@ -650,13 +650,24 @@ class FrontierScheduler:
             # transform the driver's corpus_enrich query oracle-checks
             # (corpus.enrich), committed with everything else. Pure built-ins
             # + one banded LSH agg — no Python, no all-pairs join.
-            from .corpus import enrich
+            from .corpus import band_keys, enrich
 
+            # materialize the MinHash band rows ONCE (persist): they feed
+            # THREE consumers — page_stats' nd_group, the committed
+            # nd_bands table, and (on closure cycles) the CC edge build —
+            # and concurrent write jobs do not share exchanges, so an
+            # unpersisted frame would re-run the whole shingle-explode +
+            # signature pipeline per consumer (measured: the dominant cost
+            # of a stage-stack bench cycle).
+            nd_bands_full = band_keys(
+                done.select("url_hash", "_text"), "url_hash", "_text"
+            ).persist()
             pstats = (
                 enrich(
                     done.select("url_hash", "host_bucket", "_text"),
                     "url_hash",
                     "_text",
+                    bands=nd_bands_full,
                 )
                 .drop("_text")
                 .select(*schemas.PAGE_STATS.fieldNames())
@@ -668,11 +679,9 @@ class FrontierScheduler:
             # band rows ride along (~N_BANDS tiny rows per doc): the
             # cross-cycle near-dup closure below reads THESE, never the
             # corpus text again
-            from .corpus import band_keys
-
-            nd_bands_delta = band_keys(
-                done.select("url_hash", "_text"), "url_hash", "_text"
-            ).select(*schemas.ND_BANDS.fieldNames())
+            nd_bands_delta = nd_bands_full.select(
+                *schemas.ND_BANDS.fieldNames()
+            )
             tables["nd_bands"] = (nd_bands_delta.coalesce(8), None)
 
             if cfg.nd_closure_every and cycle % cfg.nd_closure_every == 0:
@@ -716,6 +725,7 @@ class FrontierScheduler:
                 meta_nd_rounds = None
         else:
             meta_nd_rounds = None
+            nd_bands_full = None
 
         if cfg.ann_index:
             # ANN index over this cycle's fetched corpus: the SAME transform
@@ -804,8 +814,13 @@ class FrontierScheduler:
         # persisted frame (cand, ingested, pending_all, ranked, fetched), so
         # writing it materializes all caches exactly once — the concurrent
         # writes that follow read warm caches instead of racing to recompute
-        # the pipeline (persist() does not dedupe concurrent materialization)
-        manifest = io.commit(cycle, tables, meta=meta, warm=("lineage",))
+        # the pipeline (persist() does not dedupe concurrent materialization).
+        # nd_bands is warmed second for the same reason: its persisted band
+        # rows feed page_stats' nd_group too, and the two writes racing
+        # would each re-run the shingle+signature pipeline.
+        manifest = io.commit(
+            cycle, tables, meta=meta, warm=("lineage", "nd_bands")
+        )
         tick("commit writes")
 
         if cfg.use_seen_filter and build_filters:
@@ -832,8 +847,10 @@ class FrontierScheduler:
         n_sched = sum(r["enqueued"] for r in lin_rows)
         tick("read lineage")
 
-        for df in (cand, ingested, pending_all, ranked, fetched):
-            df.unpersist()
+        for df in (cand, ingested, pending_all, ranked, fetched,
+                   nd_bands_full):
+            if df is not None:
+                df.unpersist()
 
         return CycleResult(
             cycle=cycle,
