@@ -25,8 +25,17 @@ Cycle-k semantics (normative; scheduler.py mirrors this stage for stage):
    still pending; an expired, re-discovered hash is re-admitted as a fresh
    row (retries = 0) and its url_seen cycle advances to k.
 2. rows_scanned(bucket) = |pending in bucket| after ingest.
+   With cfg.host_rank_every = E, every parsed candidate with a parent adds
+   the distinct edge (parent_host, host) to the link graph; with
+   cfg.host_rank_priority, non-seed candidates get priority
+   += min(2, rank(host) div PR_SCALE) capped at 100, where rank is the
+   fixed-point integer PageRank built at the latest cycle j <= k-1 with
+   j % E == 0 (graph.integer_pagerank_py over all edges through j).
 3. ROBOTS: pending rows whose path starts with any disallow prefix of their
    host leave the frontier permanently (robots_skipped++; state='skipped').
+   With cfg.robots_rfc, the decision is RFC 9309 instead: among matching
+   (allow, disallow) rules the longest wins, allow wins length ties, no
+   match means allowed.
 4. BUDGET: per host, order pending by (priority DESC, crawl_ts ASC,
    url_hash ASC) and schedule the first budget(host); enqueued++ per bucket.
    The scheduled batch of a bucket is ordered by the same total key.
