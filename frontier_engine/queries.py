@@ -1850,6 +1850,47 @@ FROM documents
 """
 
 
+def q_doc_length_approx_percentiles(spark, sf_dir):
+    """Quantile SKETCH profiling (approx_percentile / Greenwald-Khanna) —
+    the other sketch besides HLL++ a 100-TB profiler actually runs: exact
+    percentiles need a full sort per group, the sketch is one mergeable
+    pass. Approx values are engine-specific, so the driver check is
+    rows-only; the local pytest oracle bounds each estimate against
+    DuckDB's exact quantiles with the sketch's accuracy parameter."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.expr(
+            "approx_percentile(length(text), 0.5, 1000)"
+        ).cast("long").alias("p50"),
+        F.expr(
+            "approx_percentile(length(text), 0.9, 1000)"
+        ).cast("long").alias("p90"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_frequent_terms(spark, sf_dir):
+    """Corpus-level frequent terms — vocabulary profiling: explode words,
+    count, global top-20 (count DESC, term ASC). The per-term partial
+    aggregation is map-side combined; the global top-k is a
+    TakeOrderedAndProject over per-partition heads, never a full sort."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+SQL_FREQUENT_TERMS = """
+SELECT s AS term, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS s FROM documents)
+GROUP BY s ORDER BY n DESC, term ASC LIMIT 20
+"""
+
+
 def q_doc_length_percentiles(spark, sf_dir):
     """Exact interpolated percentiles of document length per lang (corpus
     quality profiling; Spark `percentile` == DuckDB `quantile_cont`)."""
@@ -2267,6 +2308,8 @@ REGISTRY: dict = {
     "doc_length_percentiles": (
         q_doc_length_percentiles, SQL_DOC_LENGTH_PERCENTILES,
     ),
+    "doc_length_approx_percentiles": (q_doc_length_approx_percentiles, None),
+    "frequent_terms": (q_frequent_terms, SQL_FREQUENT_TERMS),
     "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
     "crawl_delay_schedule": (q_crawl_delay_schedule, SQL_CRAWL_DELAY_SCHEDULE),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),

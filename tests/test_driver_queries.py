@@ -310,3 +310,32 @@ def test_approx_distinct_users_within_hll_error_of_exact(spark, con):
     assert set(got) == set(exact)
     for t, n in exact.items():
         assert abs(got[t] - n) <= max(2, 0.15 * n), (t, got[t], n)
+
+
+def test_approx_percentiles_within_sketch_error_of_exact(spark, con):
+    """Bounded local oracle for the rows-only doc_length_approx_percentiles
+    entry: each Greenwald-Khanna estimate must be an ACTUAL data value
+    whose rank sits within the sketch's accuracy band (1/accuracy = 0.1%
+    of rows per group; assert a generous +-2% rank band) of the requested
+    quantile, per DuckDB's exact ranks."""
+    fn, _ = _registry()["doc_length_approx_percentiles"]
+    got = {
+        r["lang"]: (r["p50"], r["p90"], r["n_docs"])
+        for r in fn(spark, SF_DIR).collect()
+    }
+    for lang, (p50, p90, n) in got.items():
+        lens = [
+            v
+            for (v,) in con.sql(
+                "SELECT length(text) FROM documents WHERE lang = "
+                f"'{lang}' ORDER BY 1"
+            ).fetchall()
+        ]
+        assert n == len(lens)
+        for est, q in ((p50, 0.5), (p90, 0.9)):
+            assert est in lens, (lang, est)  # GK returns a real value
+            lo = lens.index(est)
+            hi = len(lens) - 1 - lens[::-1].index(est)
+            band = max(2, int(0.02 * len(lens)))
+            target = q * (len(lens) - 1)
+            assert lo - band <= target <= hi + band, (lang, q, est)

@@ -642,3 +642,32 @@ def test_pr_scale_constants_match():
     from frontier_engine.refspec import _PR_SCALE
 
     assert PR_SCALE == _PR_SCALE
+
+
+def test_host_rank_priority_resume_identical(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """Resume under the authority loop: the rank state lives ONLY in
+    committed tables (host_edges/host_rank + manifests), so a fresh
+    scheduler resuming after cycle 2 must schedule cycle 3 with the exact
+    same rank-boosted priorities as the uninterrupted run."""
+    import dataclasses
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix), host_rank_every=1, host_rank_priority=True
+    )
+    work_a = str(tmp_path_factory.mktemp("engine-rankprio-full"))
+    eng_a = build_engine(spark, tiny_fixture_dir, work_a, cfg)
+    eng_a.run(cycles=3)
+    st_full = spark_trace(spark, eng_a.io, range(1, 4))
+
+    work_b = str(tmp_path_factory.mktemp("engine-rankprio-resume"))
+    eng_b = build_engine(spark, tiny_fixture_dir, work_b, cfg)
+    eng_b.run(cycles=2)
+    eng_b2 = build_engine(spark, tiny_fixture_dir, work_b, cfg)  # "restart"
+    assert eng_b2.io.latest_cycle() == 2
+    eng_b2.run_cycle(3, build_filters=False)
+    st_resumed = spark_trace(spark, eng_b2.io, range(1, 4))
+
+    assert diff_traces(st_full, st_resumed) == []
