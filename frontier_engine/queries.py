@@ -1289,13 +1289,12 @@ _KM_ROUNDS = 3   # Lloyd iterations
 _KM_Q = 10_000   # quantization scale: v_d = floor(emb_d * _KM_Q) as BIGINT
 
 
-def q_ann_ivf_trained_topk(spark, sf_dir):
-    """IVF ANN over TRAINED centroids — closes the round-3 realism gap where
-    ann_ivf_topk's cells came from fixed pseudo-centroids: here the coarse
-    quantizer is a deterministic seeded k-means (init = the _KM_K vectors
-    with smallest md5(vec_id); _KM_ROUNDS Lloyd iterations), all DataFrame
-    ops, then the probe is the usual nprobe=1 cell-restricted exact-cosine
-    window top-3.
+def _ivf_trained_train(spark, sf_dir):
+    """TRAINED IVF coarse quantizer — closes the round-3 realism gap where
+    ann_ivf_topk's cells came from fixed pseudo-centroids: a deterministic
+    seeded k-means (init = the _KM_K vectors with smallest md5(vec_id);
+    _KM_ROUNDS Lloyd iterations), all DataFrame ops. Returns (base, cent,
+    assign) for the probe builders below (nprobe=1 and nprobe=2).
 
     Exactness design (the reason this stays DuckDB-oracle-checkable, which
     a float k-means is not): training runs in QUANTIZED INTEGER space,
@@ -1334,7 +1333,7 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
         "k", F.posexplode("lv").alias("d", "s"), F.lit(1).alias("n")
     )
 
-    def assign(cent_df):
+    def assign(cent_df, top: int = 1):
         t = (F.col("n") * F.col("val") - F.col("s"))
         num = (
             exploded.join(F.broadcast(cent_df), "d")
@@ -1348,7 +1347,7 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
         wk = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("k").asc())
         return (
             num.withColumn("rn", F.row_number().over(wk))
-            .where("rn = 1")
+            .where(F.col("rn") <= top)
             .select("vec_id", "k")
         )
 
@@ -1359,15 +1358,29 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
             .groupBy("k", "d")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
         )
-    cells = assign(cent)  # final assignment under the trained centroids
+    return base, cent, assign
 
-    b = base.join(cells, "vec_id").select(
-        "vec_id", "lv", F.col("k").alias("cell")
+
+def _ivf_trained_probe(base, cent, assign, nprobe: int):
+    """Shared probe over the trained quantizer: candidates live in their
+    rn=1 cell; each query searches its ``nprobe`` nearest cells (broadcast
+    query side expands nprobe-fold, the corpus is scanned once — the IVF
+    analog of Hamming-1 multiprobe). A candidate's cell is unique, so
+    multi-probe results never duplicate pairs."""
+    cand = (
+        base.join(assign(cent, top=1), "vec_id")
+        .where("vec_id >= 8")
+        .select("vec_id", "lv", F.col("k").alias("cell"))
     )
-    q = b.where("vec_id < 8").select(
-        F.col("vec_id").alias("qid"), F.col("lv").alias("qv"), "cell"
+    q = (
+        base.join(assign(cent, top=nprobe), "vec_id")
+        .where("vec_id < 8")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("lv").alias("qv"),
+            F.col("k").alias("cell"),
+        )
     )
-    cand = b.where("vec_id >= 8")
     idot = F.aggregate(
         F.zip_with("lv", "qv", lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -1392,7 +1405,25 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     )
 
 
-def _sql_ann_ivf_trained() -> str:
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """Trained-IVF ANN, nprobe=1: exact-cosine window top-3 inside each
+    query's own trained cell (_ivf_trained_train for the exactness-design
+    details — quantized-integer k-means, DuckDB-oracle-checked)."""
+    base, cent, assign = _ivf_trained_train(spark, sf_dir)
+    return _ivf_trained_probe(base, cent, assign, nprobe=1)
+
+
+def q_ann_ivf_trained_nprobe2(spark, sf_dir):
+    """Trained-IVF ANN, nprobe=2 — the recall knob every IVF deployment
+    turns: each query also searches its SECOND-nearest trained cell
+    (query side doubles, corpus scanned once), recovering neighbors that
+    quantized just across a centroid boundary. Same integer-exact
+    distances, so still DuckDB-oracle-checked."""
+    base, cent, assign = _ivf_trained_train(spark, sf_dir)
+    return _ivf_trained_probe(base, cent, assign, nprobe=2)
+
+
+def _sql_ann_ivf_trained(nprobe: int = 1) -> str:
     """DuckDB twin: the same quantized-integer k-means, CTE per stage."""
     D = _EMB_DIM
     sq = (
@@ -1418,6 +1449,13 @@ def _sql_ann_ivf_trained() -> str:
             "num::DOUBLE / (n*n)::DOUBLE ASC, k ASC) AS rn "
             f"FROM {a}_num) WHERE rn = 1)"
         )
+        if r == _KM_ROUNDS and nprobe > 1:
+            sq += (
+                f", {a}p AS (SELECT vec_id, k FROM (SELECT vec_id, k, "
+                "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY "
+                "num::DOUBLE / (n*n)::DOUBLE ASC, k ASC) AS rn "
+                f"FROM {a}_num) WHERE rn <= {nprobe})"
+            )
         if r < _KM_ROUNDS:
             c = f"c{r + 1}"
             sq += (
@@ -1427,11 +1465,12 @@ def _sql_ann_ivf_trained() -> str:
             )
             prev = c
     final = f"a{_KM_ROUNDS}"
+    qsrc = final + ("p" if nprobe > 1 else "")
     sq += (
         f", cells AS (SELECT b.vec_id, b.lv, a.k AS cell FROM base b "
         f"JOIN {final} a USING (vec_id)), "
-        "q AS (SELECT vec_id AS qid, lv AS qv, cell FROM cells "
-        "WHERE vec_id < 8), "
+        f"q AS (SELECT b.vec_id AS qid, b.lv AS qv, a.k AS cell "
+        f"FROM base b JOIN {qsrc} a USING (vec_id) WHERE b.vec_id < 8), "
         "scored AS (SELECT q.qid, c.vec_id, "
         "ROUND(list_inner_product(c.lv::DOUBLE[], q.qv::DOUBLE[]) / "
         "(sqrt(list_inner_product(c.lv::DOUBLE[], c.lv::DOUBLE[])) * "
@@ -1446,6 +1485,7 @@ def _sql_ann_ivf_trained() -> str:
 
 
 SQL_ANN_IVF_TRAINED_TOPK = _sql_ann_ivf_trained()
+SQL_ANN_IVF_TRAINED_NPROBE2 = _sql_ann_ivf_trained(nprobe=2)
 
 
 def q_ann_index_cells(spark, sf_dir):
@@ -2300,6 +2340,9 @@ REGISTRY: dict = {
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, SQL_ANN_LSH_MULTIPROBE),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_ivf_trained_topk": (q_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED_TOPK),
+    "ann_ivf_trained_nprobe2": (
+        q_ann_ivf_trained_nprobe2, SQL_ANN_IVF_TRAINED_NPROBE2,
+    ),
     "ann_index_cells": (q_ann_index_cells, SQL_ANN_INDEX_CELLS),
     "embedding_near_dup_pairs": (
         q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS,
