@@ -32,7 +32,27 @@ data dies with an executor; the round restarts from the last checkpoint).
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-PR_SCALE = 1_000_000  # fixed-point rank scale; base = floor(0.15 * scale)
+# rank scale + the pure-Python rank twin live in graph_py (no pyspark
+# imports) so the refspec oracle can use them standalone; re-exported here
+# for Spark-side callers
+from .graph_py import PR_SCALE, integer_pagerank_py  # noqa: F401
+
+# Broadcast ceiling for host-cardinality dims (rank, outdeg, contrib): at
+# ~50 bytes/row this caps the forced broadcast at ~250 MB. The 10^10-URL
+# north star has ~10^8 hosts — a multi-GB rank dim that must NOT be
+# broadcast-hinted (driver OOM); above the ceiling the hint is dropped and
+# AQE picks the join strategy from runtime stats. Small fixtures stay far
+# under it, so local plans still broadcast (plan-pinned).
+BROADCAST_HOST_MAX = 5_000_000
+
+
+def hint_small_dim(df: DataFrame, max_rows: int = BROADCAST_HOST_MAX):
+    """``F.broadcast(df)`` only when df has <= max_rows rows; otherwise the
+    frame is returned unhinted (AQE decides). The gate is one limit+count
+    job over a host-cardinality dim — cheap next to the join it guards,
+    and deterministic (same committed inputs -> same plan on resume)."""
+    n = df.limit(max_rows + 1).count()
+    return F.broadcast(df) if n <= max_rows else df
 
 
 def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
@@ -45,8 +65,13 @@ def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     self-loops and duplicates are dropped. Returns (host, rnk).
 
     Scale shape: rank state is node-cardinality (hosts, not URLs); each
-    round broadcasts it onto the edge list and runs one dst-keyed partial
-    aggregation. Rounds are unrolled into one Catalyst plan."""
+    round joins it onto the edge list and runs one dst-keyed partial
+    aggregation. Rounds are unrolled into one Catalyst plan. The
+    rank/outdeg/contrib dims are broadcast-hinted only while the host
+    count sits under BROADCAST_HOST_MAX (one count job, paid once per
+    rank build); at north-star host cardinality (~10^8) the hint is
+    dropped and AQE chooses — a forced multi-GB broadcast per unrolled
+    round would OOM the driver."""
     e = edges.where(F.col("src") != F.col("dst")).distinct()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     hosts = (
@@ -54,17 +79,21 @@ def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
         .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
     )
+    small = (
+        hosts.limit(BROADCAST_HOST_MAX + 1).count() <= BROADCAST_HOST_MAX
+    )
+    bc = F.broadcast if small else (lambda df: df)
     ranks = hosts.select("host", F.lit(PR_SCALE).cast("long").alias("rnk"))
     for _ in range(iters):
         contrib = (
-            e.join(F.broadcast(ranks), e.src == ranks.host)
-            .join(F.broadcast(outdeg), "src")
+            e.join(bc(ranks), e.src == ranks.host)
+            .join(bc(outdeg), "src")
             .select("dst", F.expr("rnk div deg").cast("long").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         ranks = hosts.join(
-            F.broadcast(contrib), hosts.host == contrib.dst, "left"
+            bc(contrib), hosts.host == contrib.dst, "left"
         ).select(
             "host",
             (F.lit(150000) + F.expr("(17 * coalesce(s, 0)) div 20"))
@@ -72,24 +101,6 @@ def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
             .alias("rnk"),
         )
     return ranks
-
-
-def integer_pagerank_py(edge_list, iters: int = 3) -> dict:
-    """Pure-Python twin of integer_pagerank (golden oracle)."""
-    e = sorted({(s, d) for s, d in edge_list if s != d})
-    outdeg: dict = {}
-    nodes = set()
-    for s, d in e:
-        outdeg[s] = outdeg.get(s, 0) + 1
-        nodes.add(s)
-        nodes.add(d)
-    rnk = {n: PR_SCALE for n in nodes}
-    for _ in range(iters):
-        s_in: dict = {}
-        for s, d in e:
-            s_in[d] = s_in.get(d, 0) + rnk[s] // outdeg[s]
-        rnk = {n: 150000 + (17 * s_in.get(n, 0)) // 20 for n in nodes}
-    return rnk
 
 
 def _canon(df: DataFrame, a: str, b: str) -> DataFrame:

@@ -24,7 +24,8 @@ def budgets_df(spark, budgets: dict[str, int]) -> DataFrame:
 
 
 def apply_robots(
-    pending: DataFrame, robots: DataFrame, rfc: bool = False
+    pending: DataFrame, robots: DataFrame, rfc: bool = False,
+    small: bool = True,
 ) -> DataFrame:
     """Adds boolean ``blocked``.
 
@@ -37,6 +38,12 @@ def apply_robots(
     and no Python. A robots table without an ``allow`` column behaves as
     all-empty allows. Hosts without a robots row are unblocked (left
     join, null-safe).
+
+    ``small=False`` drops the broadcast hint: the robots dim is
+    host-cardinality and rule-array-wide — at ~10^8 north-star hosts it
+    is far past broadcast size, and AQE must pick the join strategy. The
+    scheduler computes the flag once per instance (graph.
+    BROADCAST_HOST_MAX gate).
     """
     has_allow = rfc and "allow" in robots.columns
     r = robots.select(
@@ -56,9 +63,9 @@ def apply_robots(
     ).otherwise(no_scheme)
     path = F.substring_index(no_auth, "?", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    joined = pending.join(F.broadcast(r), "host", "left").withColumn(
-        "_path", path
-    )
+    joined = pending.join(
+        F.broadcast(r) if small else r, "host", "left"
+    ).withColumn("_path", path)
     if rfc:
         empty = F.array().cast("array<string>")
 

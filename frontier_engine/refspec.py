@@ -30,7 +30,7 @@ Cycle-k semantics (normative; scheduler.py mirrors this stage for stage):
    cfg.host_rank_priority, non-seed candidates get priority
    += min(2, rank(host) div PR_SCALE) capped at 100, where rank is the
    fixed-point integer PageRank built at the latest cycle j <= k-1 with
-   j % E == 0 (graph.integer_pagerank_py over all edges through j).
+   j % E == 0 (graph_py.integer_pagerank_py over all edges through j).
 3. ROBOTS: pending rows whose path starts with any disallow prefix of their
    host leave the frontier permanently (robots_skipped++; state='skipped').
    With cfg.robots_rfc, the decision is RFC 9309 instead: among matching
@@ -57,11 +57,9 @@ from .canon import canonicalize, host_of, path_of
 from .config import EngineConfig
 from .extract import discover_links, ref_extract
 from .fixtures import T0
+from .graph_py import PR_SCALE as _PR_SCALE
+from .graph_py import integer_pagerank_py
 from .xxh import pmod_bucket, xxhash64_str
-
-# fixed-point rank scale — MUST equal graph.PR_SCALE (pinned by a unit
-# test; literal here keeps this module import-free of pyspark)
-_PR_SCALE = 1_000_000
 
 LINEAGE_FIELDS = (
     "rows_scanned",
@@ -330,9 +328,8 @@ def run(
         if hre and k % hre == 0:
             # rank build over all edges harvested through THIS cycle —
             # consumed by ingest from the NEXT cycle on (mirrors the
-            # engine's committed host_rank table read from manifests)
-            from .graph import integer_pagerank_py
-
+            # engine's committed host_rank table read from manifests);
+            # graph_py keeps this pyspark-import-free
             res.host_rank = integer_pagerank_py(res.host_edges)
         discoveries = next_discoveries
 

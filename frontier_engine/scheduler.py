@@ -194,6 +194,16 @@ class FrontierScheduler:
         self.robots = robots
         self.seeds = seeds
         self.budgets = budgets_df(spark, cfg.budgets)
+        # the robots dim is host-cardinality: broadcast-hint it only under
+        # the host ceiling (one count job, paid once per scheduler — at
+        # ~10^8 north-star hosts the rule-array dim is far past broadcast
+        # size and AQE must choose the join strategy instead)
+        from .graph import BROADCAST_HOST_MAX
+
+        self._robots_small = (
+            robots.limit(BROADCAST_HOST_MAX + 1).count()
+            <= BROADCAST_HOST_MAX
+        )
 
     # -- inputs per cycle ---------------------------------------------------
 
@@ -329,38 +339,39 @@ class FrontierScheduler:
         )
         if cfg.host_rank_priority:
             # authority loop: boost discovered candidates by the LATEST
-            # committed host_rank build (broadcast host-cardinality dim —
-            # never a corpus shuffle). Seeds (src_host null) are never
-            # boosted; the boost lands BEFORE the within-batch max-priority
-            # dedup, exactly like the refspec mirror.
-            from .graph import PR_SCALE
+            # committed host_rank build (host-cardinality dim — broadcast
+            # below a host-count threshold, AQE decides above it; never a
+            # corpus shuffle). Seeds (src_host null) are never boosted AND
+            # never clamped — the min(100, ·) cap applies only to non-seed
+            # candidates, and it applies from cycle 1 even before the first
+            # rank build (boost 0), exactly like the refspec mirror (a
+            # seed priority > 100 must survive in both).
+            from .graph import PR_SCALE, hint_small_dim
 
             rank_df = self._latest_host_rank(cycle)
             if rank_df is not None:
-                rdim = rank_df.select(
-                    F.col("host").alias("_rh"), "rnk"
+                rdim = hint_small_dim(
+                    rank_df.select(F.col("host").alias("_rh"), "rnk")
                 )
-                boost = F.when(
+                cand = cand.join(
+                    rdim, cand.host == rdim._rh, "left"
+                )
+                boost = F.least(
+                    F.lit(2), F.expr(f"coalesce(rnk, 0) div {PR_SCALE}")
+                )
+            else:
+                boost = F.lit(0)
+            cand = cand.withColumn(
+                "priority",
+                F.when(
                     F.col("src_host").isNotNull(),
-                    F.least(
-                        F.lit(2),
-                        F.expr(f"coalesce(rnk, 0) div {PR_SCALE}"),
-                    ),
-                ).otherwise(F.lit(0))
-                cand = (
-                    cand.join(
-                        F.broadcast(rdim),
-                        cand.host == rdim._rh,
-                        "left",
-                    )
-                    .withColumn(
-                        "priority",
-                        F.least(
-                            F.lit(100), F.col("priority") + boost
-                        ).cast("int"),
-                    )
-                    .drop("_rh", "rnk")
+                    F.least(F.lit(100), F.col("priority") + boost),
                 )
+                .otherwise(F.col("priority"))
+                .cast("int"),
+            )
+            if rank_df is not None:
+                cand = cand.drop("_rh", "rnk")
         cand.persist()
         tick("ingest: candidates", cand)
 
@@ -419,7 +430,8 @@ class FrontierScheduler:
 
         # ---- 2. robots (SkipContainer analog) -----------------------------
         with_robots = apply_robots(
-            pending_all, self.robots, rfc=cfg.robots_rfc
+            pending_all, self.robots, rfc=cfg.robots_rfc,
+            small=self._robots_small,
         )
         skipped = with_robots.where("blocked")
         eligible = with_robots.where("NOT blocked").drop("blocked")
@@ -545,7 +557,9 @@ class FrontierScheduler:
         # politeness-window rank) is planned at cycle_base + (rk-1) *
         # robots.crawl_delay_ms — broadcast dim join, no extra shuffle
         base_ts = (T0 + timedelta(hours=cycle - 1)).isoformat(sep=" ")
-        delays = F.broadcast(self.robots.select("host", "crawl_delay_ms"))
+        delays = self.robots.select("host", "crawl_delay_ms")
+        if self._robots_small:
+            delays = F.broadcast(delays)
         scheduled_out = (
             scheduled.withColumn("cycle", F.lit(cycle))
             .withColumn("fetch_seq", F.row_number().over(wb))

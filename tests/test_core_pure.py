@@ -119,3 +119,37 @@ def test_refspec_split_run_equals_full(tiny_fixture_dir):
     assert cont.lineage[3] == full.lineage[3]
     assert cont.seen == full.seen
     assert set(cont.pending) == set(full.pending)
+
+
+def test_refspec_importable_without_pyspark():
+    """The oracle's stated independence: refspec (and everything it pulls
+    in, incl. the graph_py rank twin used when host_rank_every is on) must
+    import and run in an interpreter where pyspark is UNIMPORTABLE. Runs a
+    subprocess with a meta-path blocker so an accidental pyspark import at
+    any module top fails loudly (round-4 advice: integer_pagerank_py used
+    to live in graph.py, whose top-level pyspark import broke this)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "class B:\n"
+        "    def find_module(self, name, path=None):\n"
+        "        if name == 'pyspark' or name.startswith('pyspark.'):\n"
+        "            return self\n"
+        "    def load_module(self, name):\n"
+        "        raise ImportError('pyspark blocked: ' + name)\n"
+        "sys.meta_path.insert(0, B())\n"
+        "sys.modules.pop('pyspark', None)\n"
+        "from frontier_engine.refspec import run  # noqa\n"
+        "from frontier_engine.graph_py import integer_pagerank_py\n"
+        "r = integer_pagerank_py([('a', 'b'), ('b', 'a')], iters=2)\n"
+        "assert r['a'] == r['b'] > 0\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout

@@ -671,3 +671,68 @@ def test_host_rank_priority_resume_identical(
     st_resumed = spark_trace(spark, eng_b2.io, range(1, 4))
 
     assert diff_traces(st_full, st_resumed) == []
+
+
+def test_host_rank_priority_clamp_parity_seeds_over_100(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """Round-4 advice: the min(100, prio+boost) cap must (a) apply ONLY to
+    non-seed candidates — a seed priority > 100 survives untouched in both
+    implementations — and (b) apply from cycle 1, BEFORE the first rank
+    build exists. The fixture's seeds max at 100, so this runs on a seed
+    list bumped to 150: engine trace must equal refspec, a 150-priority
+    row must appear scheduled (seeds unclamped), and every non-seed
+    scheduled row must sit <= 100 (clamp active from cycle 1)."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from frontier_engine.scheduler import FrontierScheduler, prepare_pages
+    from frontier_engine.tableio import TableIO
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix), host_rank_every=1, host_rank_priority=True
+    )
+    work = str(tmp_path_factory.mktemp("engine-clamp150"))
+
+    io = TableIO(work)
+    pages_path = os.path.join(tiny_fixture_dir, "pages.parquet")
+    pc = prepare_pages(spark, pages_path, io, cfg)
+    robots = spark.read.parquet(
+        os.path.join(tiny_fixture_dir, "robots.parquet")
+    )
+    seeds = spark.read.parquet(
+        os.path.join(tiny_fixture_dir, "seeds.parquet")
+    ).withColumn(
+        "priority",
+        F.when(F.col("priority") >= 90, F.lit(150)).otherwise(
+            F.col("priority")
+        ),
+    )
+    eng = FrontierScheduler(spark, io, cfg, pc, robots, seeds)
+    eng.run(cycles=2)
+    st = spark_trace(spark, eng.io, range(1, 3))
+
+    pages, seed_rows, robots_rows = read_fixture_rows(tiny_fixture_dir)
+    seed_rows = [
+        {**r, "priority": 150 if r["priority"] >= 90 else r["priority"]}
+        for r in seed_rows
+    ]
+    rt = ref_trace(run(pages, seed_rows, robots_rows, cfg, cycles=2))
+    assert diff_traces(st, rt) == [], "\n".join(diff_traces(st, rt))
+
+    prios = [
+        t[3]
+        for cyc in rt["scheduled"].values()
+        for rows in cyc.values()
+        for t in rows
+    ]
+    assert max(prios) == 150  # an over-100 seed survived unclamped
+    # cycle 2's non-seed candidates (decayed children of 150-priority
+    # parents would be 149 without the clamp) must all sit <= 100
+    c2 = [
+        t[3] for rows in rt["scheduled"][2].values() for t in rows
+        if t[3] != 150 and t[5] == 0  # retries==0, not a carried seed
+    ]
+    assert c2 and max(c2) <= 100

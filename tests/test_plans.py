@@ -177,3 +177,21 @@ def test_fetch_join_does_not_shuffle_pages(spark, tiny_fixture_dir,
     for i in scan_idx:
         above = "\n".join(lines[max(0, i - 6): i])
         assert "ShuffleExchange" not in above and "Exchange hashpartitioning" not in above, plan
+
+
+def test_pagerank_dims_broadcast_only_under_threshold(spark):
+    """Round-4 verdict #3: the rank/outdeg/contrib host-dims are no longer
+    FORCE-broadcast — the hint is gated on BROADCAST_HOST_MAX (at ~10^8
+    north-star hosts a forced multi-GB broadcast per unrolled round would
+    OOM the driver; above the gate AQE decides). Behavior below the gate is
+    unchanged: a small edge set's plan must still BroadcastHashJoin."""
+    from frontier_engine.graph import integer_pagerank
+
+    edges = spark.createDataFrame(
+        [(f"h{i}", f"h{(i * 7 + 1) % 20}") for i in range(40)],
+        "src string, dst string",
+    )
+    ranks = integer_pagerank(edges, iters=1)
+    small = _plan(ranks)
+    assert "BroadcastHashJoin" in small, small
+    assert ranks.count() == 40  # every src + dst host gets a rank row
