@@ -2288,7 +2288,19 @@ def q_ann_corpus_multiprobe(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # registry
+#
+# HARD CAP: len(REGISTRY) <= DRIVER_ARTIFACT_CAP. The driver's CORRECTNESS
+# artifact holds exactly the registry's first 50 entries in declaration
+# order (observed in r03 AND r04) — a 51st entry silently gets no driver
+# row, un-verifying whatever lands past the cut. Every unique operator
+# therefore gets exactly one registry slot; teaching/parameter variants of
+# an operator live in SUBSUMED below, still swept by the local pytest
+# oracle gate (tests/test_driver_queries.py) but not shipped to the
+# driver. Guard test: tests/test_driver_queries.py::
+# test_registry_fits_driver_artifact.
 # ---------------------------------------------------------------------------
+
+DRIVER_ARTIFACT_CAP = 50
 
 REGISTRY: dict = {
     # crawl-core operator shapes
@@ -2298,11 +2310,9 @@ REGISTRY: dict = {
     "anti_join_new": (q_anti_join_new, SQL_ANTI_JOIN_NEW),
     "politeness_budget": (q_politeness_budget, SQL_POLITENESS_BUDGET),
     "priority_topk": (q_priority_topk, SQL_PRIORITY_TOPK),
-    "lineage_counts": (q_lineage_counts, SQL_LINEAGE_COUNTS),
     "lineage_rollup": (q_lineage_rollup, SQL_LINEAGE_ROLLUP),
     "incremental_scan": (q_incremental_scan, SQL_INCREMENTAL_SCAN),
     "set_except_users": (q_set_except_users, SQL_SET_EXCEPT_USERS),
-    "robots_prefix_filter": (q_robots_prefix_filter, SQL_ROBOTS_PREFIX_FILTER),
     "robots_longest_match": (q_robots_longest_match, SQL_ROBOTS_LONGEST_MATCH),
     # the crawl pipeline itself (+ similarity search over its own corpus).
     # Deliberately EARLY in the registry: these build the shared cached
@@ -2317,8 +2327,6 @@ REGISTRY: dict = {
     # relational coverage
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
-    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
-    "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "time_buckets": (q_time_buckets, SQL_TIME_BUCKETS),
@@ -2331,18 +2339,11 @@ REGISTRY: dict = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
-    "simhash16": (q_simhash16, SQL_SIMHASH16),
     "simhash64_bands": (q_simhash64_bands, SQL_SIMHASH64_BANDS),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_lsh_topk_batch": (q_ann_lsh_topk_batch, SQL_ANN_LSH_TOPK_BATCH),
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, SQL_ANN_LSH_MULTIPROBE),
-    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_ivf_trained_topk": (q_ann_ivf_trained_topk, SQL_ANN_IVF_TRAINED_TOPK),
-    "ann_ivf_trained_nprobe2": (
-        q_ann_ivf_trained_nprobe2, SQL_ANN_IVF_TRAINED_NPROBE2,
-    ),
     "ann_index_cells": (q_ann_index_cells, SQL_ANN_INDEX_CELLS),
     "embedding_near_dup_pairs": (
         q_embedding_near_dup_pairs, SQL_EMBEDDING_NEAR_DUP_PAIRS,
@@ -2357,7 +2358,6 @@ REGISTRY: dict = {
     "crawl_delay_schedule": (q_crawl_delay_schedule, SQL_CRAWL_DELAY_SCHEDULE),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "token_pack": (q_token_pack, SQL_TOKEN_PACK),
     "token_pack_sharded": (q_token_pack_sharded, SQL_TOKEN_PACK_SHARDED),
     "benchmark_decontaminate": (
         q_benchmark_decontaminate, SQL_BENCHMARK_DECONTAMINATE,
@@ -2369,4 +2369,38 @@ REGISTRY: dict = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "binary_meta": (q_binary_meta, SQL_BINARY_META),
+}
+
+# Variants of registry operators, consolidated out of the driver artifact
+# (round-4 verdict #1: the registry had grown to 60 against the driver's
+# 50-row cap, leaving 10 operators with no driver CORRECTNESS row at all).
+# Each entry names the REGISTRY query that subsumes it; all stay fully
+# implemented and are swept by the same DuckDB-oracle pytest gate as the
+# registry (tests/test_driver_queries.py runs REGISTRY | SUBSUMED).
+SUBSUMED: dict = {
+    # simple prefix filter ⊂ the RFC 9309 longest-match decision
+    "robots_prefix_filter": (q_robots_prefix_filter, SQL_ROBOTS_PREFIX_FILTER),
+    # plain per-bucket counts ⊂ the ROLLUP aggregation over the same frame
+    "lineage_counts": (q_lineage_counts, SQL_LINEAGE_COUNTS),
+    # TPC-H-shaped anti join — the crawl-shaped anti_join_new is the slot
+    "customers_no_orders": (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS),
+    # left-semi join — benchmark_decontaminate is the broadcast-left-semi slot
+    "customers_with_orders": (
+        q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS,
+    ),
+    # 16-bit teaching variant of the banded 64-bit simhash
+    "simhash16": (q_simhash16, SQL_SIMHASH16),
+    # bucket assignment is stage 1 of every LSH top-k query
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    # single-query LSH top-k ⊂ the batched form (1-row query frame)
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    # pseudo-centroid IVF ⊂ the trained-quantizer IVF
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    # nprobe is a parameter of ann_ivf_trained_topk (probe expansion is
+    # separately driver-checked via ann_lsh_multiprobe/ann_corpus_multiprobe)
+    "ann_ivf_trained_nprobe2": (
+        q_ann_ivf_trained_nprobe2, SQL_ANN_IVF_TRAINED_NPROBE2,
+    ),
+    # single-task-per-language packing ⊂ the md5-sharded bounded-window form
+    "token_pack": (q_token_pack, SQL_TOKEN_PACK),
 }

@@ -55,9 +55,31 @@ def con():
 
 
 def _registry():
-    from frontier_engine.queries import REGISTRY
+    """REGISTRY (driver-shipped) + SUBSUMED (consolidated variants): the
+    local oracle sweep covers BOTH, so consolidating an operator out of
+    the driver artifact never un-verifies it locally."""
+    from frontier_engine.queries import REGISTRY, SUBSUMED
 
-    return REGISTRY
+    return {**REGISTRY, **SUBSUMED}
+
+
+def test_registry_fits_driver_artifact():
+    """Round-4 verdict #1/#10: the driver's CORRECTNESS artifact holds only
+    the registry's first DRIVER_ARTIFACT_CAP entries — a larger registry
+    silently un-verifies the tail. Guard the cap so a future addition must
+    consolidate (REGISTRY slot per unique operator, variants in SUBSUMED)
+    rather than push an operator past the cut."""
+    from frontier_engine.queries import (
+        DRIVER_ARTIFACT_CAP,
+        REGISTRY,
+        SUBSUMED,
+    )
+
+    assert len(REGISTRY) <= DRIVER_ARTIFACT_CAP, (
+        f"REGISTRY has {len(REGISTRY)} entries; the driver artifact keeps "
+        f"only the first {DRIVER_ARTIFACT_CAP} — move variants to SUBSUMED"
+    )
+    assert not set(REGISTRY) & set(SUBSUMED)
 
 
 @pytest.mark.parametrize(
