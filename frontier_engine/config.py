@@ -87,10 +87,13 @@ class EngineConfig:
     # integer rank.
     host_rank_priority: bool = False
     # RFC 9309 robots decision instead of the prefix-only disallow filter:
-    # among all (allow, disallow) rules whose prefix matches the path, the
-    # longest wins and allow wins length ties (a robots table without an
-    # `allow` column behaves as all-empty allows, i.e. identical to the
-    # default mode). Golden-checked vs the refspec mirror.
+    # among all (allow, disallow) rules matching the path, the longest
+    # wins and allow wins length ties; rule paths support the §2.2.3
+    # wildcards — "*" matches any character sequence, a trailing "$"
+    # anchors the end of the path (robots_rfc.py defines the shared
+    # semantics). A robots table without an `allow` column behaves as
+    # all-empty allows. Golden-checked vs the refspec mirror, incl. a
+    # wildcard-rule golden proving divergence from literal-prefix mode.
     robots_rfc: bool = False
     # every N cycles (0 = off; needs enrich_pages), run the FULL near-dup
     # closure over the accumulated corpus: large-star/small-star connected

@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Java-regex metachars escaped by the RFC rule translation ("*" excluded —
+# it becomes ".*"); must stay in sync with robots_rfc.SPARK_ESC_CLASS
+_RX_META = r"([.^$+?(){}\[\]\\|])"
+
 
 def budgets_df(spark, budgets: dict[str, int]) -> DataFrame:
     """Politeness budgets as a broadcastable dimension (host, budget)."""
@@ -32,12 +36,18 @@ def apply_robots(
     Default mode: any disallow prefix matches the path (the reference's
     SkipContainer shape). ``rfc=True`` runs the RFC 9309 decision over
     (allow, disallow) rule arrays: the MOST SPECIFIC (longest) matching
-    rule wins and allow wins length ties — computed entirely with
-    higher-order array functions (filter + aggregate max-length) inside
-    the same broadcast join, so the RFC upgrade costs no extra shuffle
-    and no Python. A robots table without an ``allow`` column behaves as
-    all-empty allows. Hosts without a robots row are unblocked (left
-    join, null-safe).
+    rule wins and allow wins length ties, with full §2.2.3 wildcard
+    support — ``*`` matches any character sequence and a trailing ``$``
+    anchors the end of the path. Rules are translated to anchored Java
+    regexes ON THE RULE-DIM SIDE (robots is host-cardinality — never
+    collected driver-side) with built-in string functions, mirroring
+    robots_rfc.rule_regex exactly (parity pinned by the wildcard golden);
+    the big side then evaluates one regexp_like per rule inside the same
+    broadcast join — no extra shuffle, no Python on the data path. A
+    robots table without an ``allow`` column behaves as all-empty allows.
+    Hosts without a robots row are unblocked (left join, null-safe).
+    Wildcard-free rules compile to ``^literal`` regexes, so decisions are
+    byte-identical to the previous prefix-longest-match behavior.
 
     ``small=False`` drops the broadcast hint: the robots dim is
     host-cardinality and rule-array-wide — at ~10^8 north-star hosts it
@@ -69,14 +79,37 @@ def apply_robots(
     if rfc:
         empty = F.array().cast("array<string>")
 
+        def rule_rx(x):
+            # column twin of robots_rfc.rule_regex: trailing "$" = end
+            # anchor, "*" = ".*", everything else regex-escaped
+            endd = x.endswith("$")
+            body = F.when(
+                endd, F.substring(x, F.lit(1), F.length(x) - 1)
+            ).otherwise(x)
+            esc = F.regexp_replace(body, _RX_META, r"\\$1")
+            return F.concat(
+                F.lit("^"),
+                F.regexp_replace(esc, r"\*", ".*"),
+                F.when(endd, F.lit("$")).otherwise(F.lit("")),
+            )
+
         def longest_match(col):
+            # (len, rx) structs are computed from the rule array the dim
+            # row carries — per-rule work, never per (row x rule) work
+            # beyond the final regexp_like match
+            structs = F.transform(
+                F.coalesce(col, empty),
+                lambda x: F.struct(
+                    F.length(x).alias("l"), rule_rx(x).alias("rx")
+                ),
+            )
             return F.aggregate(
                 F.filter(
-                    F.coalesce(col, empty),
-                    lambda x: F.col("_path").startswith(x),
+                    structs,
+                    lambda s: F.regexp_like(F.col("_path"), s["rx"]),
                 ),
                 F.lit(0),
-                lambda acc, x: F.greatest(acc, F.length(x)),
+                lambda acc, s: F.greatest(acc, s["l"]),
             )
 
         alw = F.col("allow") if has_allow else empty

@@ -244,36 +244,51 @@ WHERE NOT (source LIKE 'src1%' OR source LIKE 'src3%')
 
 
 # RFC 9309 rule set for robots_longest_match (shared Spark/SQL literals):
-# (rule prefix, is_allow). Most-specific (longest) matching rule wins;
-# allow wins length ties; no match => allowed.
+# (rule path, is_allow). Most-specific (longest, wildcards counted as
+# octets) matching rule wins; allow wins length ties; no match => allowed.
+# The last two rules exercise §2.2.3 wildcards: "*" = any sequence,
+# trailing "$" = end-of-path anchor.
 _ROBOTS_RULES = [
     ("/d/", 0),
     ("/d/1", 1),
     ("/d/12", 0),
     ("/d/3", 0),
     ("/d/33", 1),
+    ("/d/*7$", 0),
+    ("/d/1*7$", 1),
 ]
 
 
 def q_robots_longest_match(spark, sf_dir):
     """RFC 9309 robots decision — the REAL robots algorithm, beyond the
-    engine's prefix-array filter: among all rules whose prefix matches the
-    URL path, the MOST SPECIFIC (longest) wins, allow beats disallow on
-    length ties, and an unmatched path is allowed. Implemented as the
-    argmax-by-specificity pattern: broadcast the tiny rule dim, keep
-    matching rules, one row_number window per path keyed (rule length
-    DESC, allow DESC), rank 1 decides. Scales: the URL side streams
-    through a broadcast join (never shuffles for the rules); the window
-    partitions on the URL key so no task ever holds more than one URL's
-    matched rules."""
+    engine's prefix-array filter: among all rules matching the URL path
+    (incl. §2.2.3 wildcard rules: '*' any-sequence, trailing '$' end
+    anchor), the MOST SPECIFIC (longest) wins, allow beats disallow on
+    length ties, and an unmatched path is allowed. Rules are translated
+    to anchored regexes DRIVER-SIDE at plan-build time
+    (robots_rfc.rule_regex — the same translation the engine applies
+    column-side in politeness.apply_robots), so the per-row work is one
+    regexp match per rule. Implemented as the argmax-by-specificity
+    pattern: broadcast the tiny rule dim, keep matching rules, one
+    row_number window per path keyed (rule length DESC, allow DESC),
+    rank 1 decides. Scales: the URL side streams through a broadcast
+    join (never shuffles for the rules); the window partitions on the
+    URL key so no task ever holds more than one URL's matched rules."""
+    from .robots_rfc import rule_regex
+
     d = _t(spark, sf_dir, "documents")
     paths = d.select(
         "doc_id",
         F.concat(F.lit("/d/"), F.col("doc_id").cast("string")).alias("path"),
     )
-    rules = spark.createDataFrame(_ROBOTS_RULES, "rule STRING, is_allow INT")
+    rules = spark.createDataFrame(
+        [(r, a, rule_regex(r)) for r, a in _ROBOTS_RULES],
+        "rule STRING, is_allow INT, rx STRING",
+    )
     m = (
-        paths.join(F.broadcast(rules), F.col("path").startswith(F.col("rule")))
+        paths.join(
+            F.broadcast(rules), F.regexp_like(F.col("path"), F.col("rx"))
+        )
         .withColumn(
             "rk",
             F.row_number().over(
@@ -296,18 +311,28 @@ def q_robots_longest_match(spark, sf_dir):
     )
 
 
-SQL_ROBOTS_LONGEST_MATCH = (
-    "WITH paths AS (SELECT doc_id, '/d/' || doc_id AS path FROM documents), "
-    "rules(rule, is_allow) AS (VALUES "
-    + ", ".join(f"('{r}', {a})" for r, a in _ROBOTS_RULES)
-    + "), m AS (SELECT doc_id, rule, is_allow, "
-    "ROW_NUMBER() OVER (PARTITION BY doc_id "
-    "ORDER BY length(rule) DESC, is_allow DESC) AS rk "
-    "FROM paths JOIN rules ON starts_with(path, rule)) "
-    "SELECT p.doc_id, p.path, COALESCE(m.rule, '') AS winning_rule, "
-    "COALESCE(m.is_allow, 1) = 1 AS allowed "
-    "FROM paths p LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (doc_id)"
-)
+def _sql_robots_longest_match() -> str:
+    from .robots_rfc import rule_regex
+
+    vals = ", ".join(
+        f"('{r}', {a}, '{rule_regex(r)}')" for r, a in _ROBOTS_RULES
+    )
+    return (
+        "WITH paths AS (SELECT doc_id, '/d/' || doc_id AS path "
+        "FROM documents), "
+        f"rules(rule, is_allow, rx) AS (VALUES {vals}"
+        "), m AS (SELECT doc_id, rule, is_allow, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY length(rule) DESC, is_allow DESC) AS rk "
+        "FROM paths JOIN rules ON regexp_matches(path, rx)) "
+        "SELECT p.doc_id, p.path, COALESCE(m.rule, '') AS winning_rule, "
+        "COALESCE(m.is_allow, 1) = 1 AS allowed "
+        "FROM paths p LEFT JOIN (SELECT * FROM m WHERE rk = 1) m "
+        "USING (doc_id)"
+    )
+
+
+SQL_ROBOTS_LONGEST_MATCH = _sql_robots_longest_match()
 
 
 # ---------------------------------------------------------------------------

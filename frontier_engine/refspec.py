@@ -35,7 +35,8 @@ Cycle-k semantics (normative; scheduler.py mirrors this stage for stage):
    host leave the frontier permanently (robots_skipped++; state='skipped').
    With cfg.robots_rfc, the decision is RFC 9309 instead: among matching
    (allow, disallow) rules the longest wins, allow wins length ties, no
-   match means allowed.
+   match means allowed; rule paths support §2.2.3 wildcards ("*" matches
+   any sequence, a trailing "$" anchors the end of the path).
 4. BUDGET: per host, order pending by (priority DESC, crawl_ts ASC,
    url_hash ASC) and schedule the first budget(host); enqueued++ per bucket.
    The scheduled batch of a bucket is ordered by the same total key.
@@ -59,6 +60,7 @@ from .extract import discover_links, ref_extract
 from .fixtures import T0
 from .graph_py import PR_SCALE as _PR_SCALE
 from .graph_py import integer_pagerank_py
+from .robots_rfc import decide as rfc_decide
 from .xxh import pmod_bucket, xxhash64_str
 
 LINEAGE_FIELDS = (
@@ -232,10 +234,10 @@ def run(
             dis, alw = robots.get(row.host, ([], []))
             p = path_of(row.url_canon)
             if cfg.robots_rfc:
-                # RFC 9309: longest matching rule wins, allow wins ties
-                ld = max((len(d) for d in dis if p.startswith(d)), default=0)
-                la = max((len(a) for a in alw if p.startswith(a)), default=0)
-                is_blocked = ld > la
+                # RFC 9309: longest matching rule wins, allow wins ties;
+                # §2.2.3 wildcards ("*" any-sequence, trailing "$" end
+                # anchor) via the shared pyspark-free robots_rfc module
+                is_blocked = rfc_decide(p, dis, alw)
             else:
                 is_blocked = any(p.startswith(d) for d in dis)
             if is_blocked:

@@ -736,3 +736,61 @@ def test_host_rank_priority_clamp_parity_seeds_over_100(
         if t[3] != 150 and t[5] == 0  # retries==0, not a carried seed
     ]
     assert c2 and max(c2) <= 100
+
+
+def test_robots_rfc_wildcard_golden(spark, tiny_fixture_dir, tmp_path_factory):
+    """RFC 9309 §2.2.3 wildcards (round-4 verdict #2): '*' matches any
+    sequence and a trailing '$' anchors the end of the path. Every host
+    gets an extra disallow '/p/*3$' — meaningless under literal-prefix
+    matching (no path starts with the literal '/p/*3$'), but under
+    wildcard semantics it blocks every /p/ path ending in 3. The engine
+    trace must exactly equal the refspec mirror, and the run must
+    genuinely diverge from (a) prefix mode and (b) what literal-prefix
+    RFC matching would have decided."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(config_for_fixture(fix), robots_rfc=True)
+    work = str(tmp_path_factory.mktemp("engine-rfc-wild"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.robots = eng.robots.withColumn(
+        "disallow", F.array_union("disallow", F.array(F.lit("/p/*3$")))
+    )
+    eng.run(cycles=2)
+    st = spark_trace(spark, eng.io, range(1, 3))
+
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    robots_w = [
+        dict(r, disallow=list(r["disallow"]) + ["/p/*3$"]) for r in robots
+    ]
+    rt = ref_trace(run(pages, seeds, robots_w, cfg, cycles=2))
+    assert diff_traces(st, rt) == [], "\n".join(diff_traces(st, rt))
+
+    def skips(res_lineage):
+        return sum(
+            v["robots_skipped"]
+            for lin in res_lineage.values()
+            for v in lin.values()
+        )
+
+    # literal-prefix interpretation of the same rules (prefix mode) must
+    # block strictly fewer rows — the wildcard rule is what bites
+    prefix_res = run(
+        pages, seeds, robots_w,
+        dataclasses.replace(cfg, robots_rfc=False), cycles=2,
+    )
+    assert skips(rt["lineage"]) > skips(prefix_res.lineage)
+    # and no surviving scheduled /p/ PATH ends in 3 on any host (the "$"
+    # anchors the path — query strings are not part of the match)
+    from frontier_engine.canon import path_of
+
+    bad = [
+        t[0]
+        for cyc in rt["scheduled"].values()
+        for rows in cyc.values()
+        for t in rows
+        if path_of(t[0]).startswith("/p/") and path_of(t[0]).endswith("3")
+    ]
+    assert bad == []
