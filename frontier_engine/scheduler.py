@@ -699,32 +699,127 @@ class FrontierScheduler:
             tables["nd_bands"] = (nd_bands_delta.coalesce(8), None)
 
             if cfg.nd_closure_every and cycle % cfg.nd_closure_every == 0:
-                # FULL near-dup closure over the accumulated corpus —
-                # engine analog of handler dispatch over committed state
+                # Near-dup closure over the accumulated corpus — engine
+                # analog of handler dispatch over committed state
                 # (base_handler.py ≈L48): edges = doc <-> min-doc of each
                 # shared (band, bkey) bucket (star edges, never all-pairs
                 # within a bucket), components via O(log n) star
                 # contraction. Vertices come from accumulated page_stats
                 # so shingle-less docs keep singleton components.
+                #
+                # INCREMENTAL from the second closure on: the previous
+                # closure committed nd_components (a star forest — each
+                # doc -> its component min) plus nd_buckets (each (band,
+                # bkey) -> min _id ever seen in it). Seeding with those
+                # two O(docs)/O(buckets) tables + ONLY the delta cycles'
+                # band rows yields exactly the same components as a full
+                # re-cluster (proof sketch: prev star edges preserve all
+                # old connectivity; a delta band row links its doc to the
+                # merged bucket min; a (prev-min -> merged-min) edge per
+                # touched bucket reconnects the old cluster; every added
+                # edge stays inside a true component, so the partition —
+                # and the min labels — are identical; pinned by the
+                # multi-closure union-find golden).
                 from .graph import connected_components_star
 
-                all_bands = io.read_appended(
-                    spark, "nd_bands", cycle - 1, schemas.ND_BANDS
-                ).unionByName(nd_bands_delta)
-                grp = all_bands.groupBy("band", "bkey").agg(
-                    F.min("_id").alias("g")
-                )
-                edges = all_bands.join(grp, ["band", "bkey"]).select(
-                    F.col("_id").alias("src"), F.col("g").alias("dst")
-                )
-                verts = (
-                    io.read_appended(
-                        spark, "page_stats", cycle - 1, schemas.PAGE_STATS
+                prev_closure = None
+                for c in range(cycle - 1, 0, -1):
+                    m = io.manifest(c)
+                    if m and "nd_buckets" in m.get("tables", {}):
+                        prev_closure = c
+                        break
+                if prev_closure is None:
+                    delta_bands = io.read_appended(
+                        spark, "nd_bands", cycle - 1, schemas.ND_BANDS
+                    ).unionByName(nd_bands_delta)
+                    prev_buckets = io._empty(spark, schemas.ND_BUCKETS)
+                    prev_star = io._empty(
+                        spark, schemas.ND_COMPONENTS
+                    ).select(
+                        F.col("url_hash").alias("src"),
+                        F.col("nd_comp").alias("dst"),
                     )
-                    .select("url_hash")
-                    .unionByName(pstats.select("url_hash"))
-                    .distinct()
-                    .select(F.col("url_hash").alias("id"))
+                    verts = (
+                        io.read_appended(
+                            spark, "page_stats", cycle - 1,
+                            schemas.PAGE_STATS,
+                        )
+                        .select("url_hash")
+                        .unionByName(pstats.select("url_hash"))
+                        .distinct()
+                        .select(F.col("url_hash").alias("id"))
+                    )
+                    meta_nd_mode = "full"
+                else:
+                    delta_bands = io.read_delta_range(
+                        spark, "nd_bands", prev_closure + 1, cycle - 1,
+                        schemas.ND_BANDS,
+                    ).unionByName(nd_bands_delta)
+                    prev_buckets = io.read_cycle(
+                        spark, "nd_buckets", prev_closure,
+                        schemas.ND_BUCKETS,
+                    )
+                    prev_comp = io.read_cycle(
+                        spark, "nd_components", prev_closure,
+                        schemas.ND_COMPONENTS,
+                    )
+                    prev_star = prev_comp.where(
+                        F.col("url_hash") != F.col("nd_comp")
+                    ).select(
+                        F.col("url_hash").alias("src"),
+                        F.col("nd_comp").alias("dst"),
+                    )
+                    verts = (
+                        prev_comp.select("url_hash")
+                        .unionByName(
+                            io.read_delta_range(
+                                spark, "page_stats", prev_closure + 1,
+                                cycle - 1, schemas.PAGE_STATS,
+                            ).select("url_hash")
+                        )
+                        .unionByName(pstats.select("url_hash"))
+                        .distinct()
+                        .select(F.col("url_hash").alias("id"))
+                    )
+                    meta_nd_mode = "incremental"
+
+                delta_bands.persist()  # consumed by newg, edges, count
+                newg = delta_bands.groupBy("band", "bkey").agg(
+                    F.min("_id").alias("ng")
+                )
+                pb = prev_buckets.select(
+                    "band", "bkey", F.col("g").alias("pg")
+                )
+                merged = (
+                    newg.join(pb, ["band", "bkey"], "full_outer")
+                    .select(
+                        "band",
+                        "bkey",
+                        F.least(
+                            F.coalesce("ng", "pg"), F.coalesce("pg", "ng")
+                        ).alias("g"),
+                        "ng",
+                        "pg",
+                    )
+                )
+                merged.persist()
+                edges = (
+                    # delta docs -> merged bucket min
+                    delta_bands.join(
+                        merged.select("band", "bkey", "g"), ["band", "bkey"]
+                    )
+                    .select(F.col("_id").alias("src"), F.col("g").alias("dst"))
+                    # previous closure's star forest (empty on full path)
+                    .unionByName(prev_star)
+                    # touched buckets: reconnect the old cluster min to the
+                    # merged min (no-op rows g == pg are dropped by _canon)
+                    .unionByName(
+                        merged.where(
+                            F.col("pg").isNotNull() & F.col("ng").isNotNull()
+                        ).select(
+                            F.col("pg").alias("src"), F.col("g").alias("dst")
+                        )
+                    )
                 )
                 comp, nd_rounds = connected_components_star(edges, verts)
                 tables["nd_components"] = (
@@ -734,11 +829,22 @@ class FrontierScheduler:
                     ).coalesce(8),
                     None,
                 )
+                tables["nd_buckets"] = (
+                    merged.select("band", "bkey", "g").coalesce(8),
+                    None,
+                )
                 meta_nd_rounds = nd_rounds
+                # closure-input bound for the manifest: incremental reads
+                # O(delta) band rows, never O(history) (tiny count — the
+                # frame is N_BANDS rows per delta doc)
+                meta_nd_input = delta_bands.count()
+                nd_closure_frames = (delta_bands, merged)
             else:
-                meta_nd_rounds = None
+                meta_nd_rounds = meta_nd_mode = meta_nd_input = None
+                nd_closure_frames = ()
         else:
-            meta_nd_rounds = None
+            meta_nd_rounds = meta_nd_mode = meta_nd_input = None
+            nd_closure_frames = ()
             nd_bands_full = None
 
         if cfg.ann_index:
@@ -792,8 +898,12 @@ class FrontierScheduler:
 
         meta = {}
         if meta_nd_rounds is not None:
-            # observability + the golden's O(log n) round-bound assertion
+            # observability + the golden's O(log n) round-bound assertion;
+            # nd_mode/nd_input_bands pin that a non-first closure consumed
+            # only the delta cycles' band rows, not all history
             meta["nd_rounds"] = meta_nd_rounds
+            meta["nd_mode"] = meta_nd_mode
+            meta["nd_input_bands"] = meta_nd_input
         if cfg.auto_salt:
             meta["auto_salt"] = salt_factor  # observability + test hook
             # hottest-host share of this cycle's eligible frontier: feeds
@@ -822,6 +932,22 @@ class FrontierScheduler:
                 spark, "resolved", cycle - 1, schemas.RESOLVED
             ).unionByName(resolved)
             tables["resolved_base"] = (full_resolved.coalesce(8), None)
+            # the two newer accumulating tables compact on the same
+            # cadence (round-4 verdict #6): rank builds and full-closure
+            # fallbacks read O(1) dirs instead of O(cycles). Pure layout
+            # change — the base is the exact union the read path would
+            # have produced (incl. this cycle's delta, which read_appended
+            # skips once a base exists at the same cycle).
+            if cfg.host_rank_every:
+                full_edges = io.read_appended(
+                    spark, "host_edges", cycle - 1, schemas.HOST_EDGES
+                ).unionByName(host_edges_delta)
+                tables["host_edges_base"] = (full_edges.coalesce(4), None)
+            if cfg.enrich_pages:
+                full_bands = io.read_appended(
+                    spark, "nd_bands", cycle - 1, schemas.ND_BANDS
+                ).unionByName(nd_bands_delta)
+                tables["nd_bands_base"] = (full_bands.coalesce(8), None)
 
         tick("plan outputs")
         # the lineage write goes FIRST, sequentially: its plan traverses every
@@ -862,7 +988,7 @@ class FrontierScheduler:
         tick("read lineage")
 
         for df in (cand, ingested, pending_all, ranked, fetched,
-                   nd_bands_full):
+                   nd_bands_full, *nd_closure_frames):
             if df is not None:
                 df.unpersist()
 

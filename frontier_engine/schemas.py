@@ -71,6 +71,18 @@ ND_COMPONENTS = T.StructType(
     ]
 )
 
+# per-closure bucket representatives: min _id ever seen in each MinHash
+# (band, bkey) bucket through the committing closure cycle — the O(buckets)
+# state that lets the NEXT closure run incrementally (delta bands + prev
+# components + prev reps), instead of re-clustering all history
+ND_BUCKETS = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bkey", T.StringType()),
+        T.StructField("g", T.LongType()),
+    ]
+)
+
 ANN_INDEX = T.StructType(
     [
         T.StructField("url_hash", T.LongType()),

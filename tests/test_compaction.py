@@ -54,3 +54,71 @@ def test_compacted_seen_matches_refspec(spark, tiny_fixture_dir, tmp_path_factor
     pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
     rt = ref_trace(run(pages, seeds, robots, cfg, cycles=4))
     assert diff_traces(st, rt) == []
+
+
+def test_host_edges_and_nd_bands_compaction(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """Round-4 verdict #6: the two accumulating tables added in round 4
+    (host_edges, nd_bands) compact on the same cadence as url_seen — rank
+    builds and full-closure fallbacks read O(1) dirs, not O(cycles). The
+    consolidated read must equal the raw delta union EXACTLY (multiset),
+    and the trace stays golden."""
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix),
+        compact_every=2,
+        host_rank_every=1,
+        enrich_pages=True,
+    )
+    work = str(tmp_path_factory.mktemp("engine-compact-edges"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=3)
+
+    m2 = eng.io.manifest(2)
+    assert "host_edges_base" in m2["tables"]
+    assert "nd_bands_base" in m2["tables"]
+
+    for name, schema, key in (
+        ("host_edges", schemas.HOST_EDGES,
+         lambda r: (r["src_host"], r["dst_host"])),
+        ("nd_bands", schemas.ND_BANDS,
+         lambda r: (r["_id"], r["band"], r["bkey"])),
+    ):
+        got = sorted(
+            key(r)
+            for r in eng.io.read_appended(spark, name, 3, schema).collect()
+        )
+        raw = []
+        for c in range(1, 4):
+            raw += [
+                key(r)
+                for r in eng.io.read_cycle(spark, name, c, schema).collect()
+            ]
+        assert got == sorted(raw) and len(got) > 0, name
+
+    # base+delta path actually in use: the cycle-3 read unions exactly the
+    # cycle-2 base dir and the cycle-3 delta dir
+    st = spark_trace(spark, eng.io, range(1, 4))
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    rt = ref_trace(run(pages, seeds, robots, cfg, cycles=3))
+    assert diff_traces(st, rt) == []
+
+    # and the committed host_rank at cycle 3 (built THROUGH the compacted
+    # base) still equals the pure-Python rank over all raw edges
+    from frontier_engine.graph_py import integer_pagerank_py
+
+    edges = {
+        (r["src_host"], r["dst_host"])
+        for c in range(1, 4)
+        for r in eng.io.read_cycle(
+            spark, "host_edges", c, schemas.HOST_EDGES
+        ).collect()
+    }
+    got_rank = {
+        r["host"]: r["rnk"]
+        for r in eng.io.read_cycle(
+            spark, "host_rank", 3, schemas.HOST_RANK
+        ).collect()
+    }
+    assert got_rank == integer_pagerank_py(edges)

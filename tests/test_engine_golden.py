@@ -794,3 +794,94 @@ def test_robots_rfc_wildcard_golden(spark, tiny_fixture_dir, tmp_path_factory):
         if path_of(t[0]).startswith("/p/") and path_of(t[0]).endswith("3")
     ]
     assert bad == []
+
+
+def test_nd_closure_incremental_matches_full_recompute(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """Round-4 verdict #5: from the second closure on, the near-dup
+    closure is INCREMENTAL — seeded with the previous nd_components star
+    forest + nd_buckets reps + only the delta cycles' band rows, instead
+    of re-clustering all history. The cycle-3 components must EXACTLY
+    equal a pure-Python union-find over ALL bands (the full recompute),
+    and the manifest meta must show the incremental mode with an input
+    bounded by the delta, not the history."""
+    import dataclasses
+    from collections import defaultdict
+
+    from frontier_engine import schemas
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix), enrich_pages=True, nd_closure_every=1
+    )
+    work = str(tmp_path_factory.mktemp("engine-ndclosure-inc"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=3)
+
+    assert eng.io.manifest(1)["meta"]["nd_mode"] == "full"
+    for c in (2, 3):
+        assert eng.io.manifest(c)["meta"]["nd_mode"] == "incremental"
+
+    # input bound: closure 3 read exactly cycle 3's band delta (closure 2
+    # consumed cycles 1-2's bands are NOT re-read)
+    delta3 = eng.io.read_cycle(spark, "nd_bands", 3, schemas.ND_BANDS).count()
+    assert eng.io.manifest(3)["meta"]["nd_input_bands"] == delta3
+    all_bands_n = eng.io.read_appended(
+        spark, "nd_bands", 3, schemas.ND_BANDS
+    ).count()
+    assert delta3 < all_bands_n  # genuinely less than the history
+
+    # full-recompute oracle: union-find over ALL bands + all page_stats
+    bands = eng.io.read_appended(
+        spark, "nd_bands", 3, schemas.ND_BANDS
+    ).collect()
+    verts = [
+        r["url_hash"]
+        for r in eng.io.read_appended(
+            spark, "page_stats", 3, schemas.PAGE_STATS
+        ).select("url_hash").distinct().collect()
+    ]
+    got = {
+        r["url_hash"]: r["nd_comp"]
+        for r in eng.io.read_cycle(
+            spark, "nd_components", 3, schemas.ND_COMPONENTS
+        ).collect()
+    }
+    assert len(got) == len(verts) > 0
+
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    buckets = defaultdict(list)
+    for r in bands:
+        buckets[(r["band"], r["bkey"])].append(r["_id"])
+    for ids in buckets.values():
+        m = min(ids)
+        for i in ids:
+            union(m, i)
+    comp_min = {}
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in verts}
+    assert got == want
+
+    # nd_buckets reps equal the true per-bucket minimum over all history
+    reps = {
+        (r["band"], r["bkey"]): r["g"]
+        for r in eng.io.read_cycle(
+            spark, "nd_buckets", 3, schemas.ND_BUCKETS
+        ).collect()
+    }
+    assert reps == {k: min(ids) for k, ids in buckets.items()}
