@@ -106,9 +106,24 @@ class EngineConfig:
     nd_closure_every: int = 0
     # commit a per-cycle ann_index table (corpus.ann_enrich over the cycle's
     # successfully fetched pages: deterministic hashed-word embedding +
-    # hyperplane-LSH cell, partitioned by cell so similarity search over the
+    # coarse cell, partitioned by cell so similarity search over the
     # engine's own corpus probes one partition-pruned cell, not the corpus).
     ann_index: bool = False
+    # coarse-cell source for the committed ann_index: "lsh" (default) uses
+    # the data-independent hyperplane cells; "ivf" TRAINS a coarse
+    # quantizer per build (corpus.ivf_train_collect: seeded quantized-
+    # integer k-means over a deterministic md5 sample of the cycle's docs,
+    # centroid stats collected driver-side as a 256-row literal) and
+    # partitions by nearest trained cell + commits the stats as an
+    # ann_centroids table so probes can cell-route queries. Golden-checked
+    # vs the pure-Python twin (corpus.ivf_py).
+    ann_index_mode: str = "lsh"
+    # training-sample keep fraction for "ivf" mode, in sixteenths: docs
+    # whose md5(id) leading hex char < this train the quantizer (16 = all
+    # docs — the fixture default; a 100-TB deployment sets 1-2 so Lloyd
+    # rounds scan ~1/16 of the corpus while ASSIGNMENT still covers every
+    # doc via the broadcast centroid literal).
+    ann_ivf_sample_hex: int = 16
 
     def budget_of(self, host: str) -> int:
         return self.budgets.get(host, self.default_budget)

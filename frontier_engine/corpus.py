@@ -222,6 +222,183 @@ def ann_enrich(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trained-IVF cells for the committed ANN index (cfg.ann_index_mode="ivf").
+#
+# The hyperplane-LSH cells above are data-independent; a real IVF index
+# trains its coarse quantizer on the corpus. Same exactness discipline as
+# the driver's ann_ivf_trained_topk query (queries._ivf_trained_train):
+# embeddings are QUANTIZED to int64 (floor(emb_d * ANN_IVF_Q)), centroid
+# stats (s_kd, n_k) are integer sums (aggregation-order-exact), assignment
+# compares the exact integer numerator Σ_d(n·v_d − s_kd)² with ONE double
+# division and ties broken by smallest k — so the whole training run is
+# bit-reproducible and has an exact pure-Python twin (ivf_py, golden).
+#
+# Scale shape: training runs over a deterministic md5-threshold SAMPLE of
+# the cycle's docs (sample_hex/16 of them — the id's md5 leading hex char;
+# 16 = train on everything, the fixture default). The Lloyd rounds scan
+# only the sample; the one full-corpus pass is the final assignment, a
+# broadcast join against the K×D=256-row centroid literal collected
+# driver-side (probe-metadata-sized, like the multiprobe cell literals).
+# The committed index is hive-partitioned by trained cell, so probes stay
+# partition-pruned exactly as in LSH mode.
+# ---------------------------------------------------------------------------
+
+ANN_IVF_K = 16       # trained cell count (matches 2^N_HYPER of LSH mode)
+ANN_IVF_Q = 10_000   # quantization scale: v_d = floor(emb_d * Q) as int64
+ANN_IVF_ROUNDS = 2   # Lloyd iterations per build
+
+
+def ivf_train_collect(
+    df: DataFrame, id_col: str, sample_hex: int = 16
+) -> list[tuple]:
+    """Train the coarse quantizer on ``df`` (needs ``emb``; sampled by
+    md5(id) leading hex < sample_hex) and return the final centroid stats
+    as [(k, d, s, n)] — K*EMB_DIM tiny rows collected driver-side. Seeds
+    = the ANN_IVF_K sample ids with smallest md5 (TakeOrderedAndProject,
+    never a global sort); each Lloyd round is one broadcast join + two
+    partial-agg shuffles of key-sized data over the sample."""
+    from pyspark.sql import Window
+
+    md5c = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(
+            "emb", lambda x: F.floor(x * ANN_IVF_Q).cast("long")
+        ).alias("lv"),
+        md5c.alias("_m"),
+    )
+    if sample_hex < 16:
+        base = base.where(
+            F.substring("_m", 1, 1) < _HEXD[sample_hex]
+        )
+    exploded = base.select("_vid", F.posexplode("lv").alias("d", "val"))
+    exploded.persist()
+    seeds = (
+        base.select("_vid", "lv", "_m").orderBy("_m").limit(ANN_IVF_K)
+        .withColumn("k", F.row_number().over(Window.orderBy("_m")) - 1)
+    )
+    cent = seeds.select(
+        "k", F.posexplode("lv").alias("d", "s"), F.lit(1).alias("n")
+    )
+    for _ in range(ANN_IVF_ROUNDS):
+        a = _ivf_assign(exploded, cent, "_vid")
+        cent = (
+            a.join(exploded, "_vid")
+            .groupBy("k", "d")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+    rows = [
+        (r["k"], r["d"], r["s"], r["n"]) for r in cent.collect()
+    ]
+    exploded.unpersist()
+    return sorted(rows)
+
+
+def _ivf_assign(exploded: DataFrame, cent_df: DataFrame, id_col: str):
+    """Nearest trained cell per id: exact integer numerator, one double
+    division, ties to smallest k (identical to the driver IVF query)."""
+    from pyspark.sql import Window
+
+    t = F.col("n") * F.col("val") - F.col("s")
+    num = (
+        exploded.join(F.broadcast(cent_df), "d")
+        .select(id_col, "k", "n", (t * t).alias("t"))
+        .groupBy(id_col, "k", "n")
+        .agg(F.sum("t").alias("num"))
+    )
+    dist = F.col("num").cast("double") / (
+        (F.col("n") * F.col("n")).cast("double")
+    )
+    wk = Window.partitionBy(id_col).orderBy(dist.asc(), F.col("k").asc())
+    return (
+        num.withColumn("rn", F.row_number().over(wk))
+        .where("rn = 1")
+        .select(id_col, "k")
+    )
+
+
+def ivf_assign_cells(
+    spark, df: DataFrame, id_col: str, cent_rows: list[tuple]
+) -> DataFrame:
+    """Replace ``cell`` with each row's nearest TRAINED cell, using the
+    collected centroid stats as a plan-time literal dim (broadcast; one
+    corpus pass, no training recompute)."""
+    cent_df = spark.createDataFrame(
+        cent_rows, "k int, d int, s long, n long"
+    )
+    lv = df.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(
+            "emb", lambda x: F.floor(x * ANN_IVF_Q).cast("long")
+        ).alias("lv"),
+    )
+    exploded = lv.select("_vid", F.posexplode("lv").alias("d", "val"))
+    a = _ivf_assign(exploded, cent_df, "_vid").select(
+        F.col("_vid").alias(id_col), F.col("k").alias("_cell")
+    )
+    return (
+        df.drop("cell")
+        .join(a, id_col)
+        .withColumn("cell", F.col("_cell").cast("int"))
+        .drop("_cell")
+    )
+
+
+def ivf_py(items, sample_hex: int = 16) -> tuple:
+    """Pure-Python twin of ivf_train_collect + ivf_assign_cells (golden):
+    ``items`` = [(id, emb_list)]; returns (sorted centroid stats rows,
+    {id: cell})."""
+    import math
+
+    def q(e):
+        return [int(math.floor(x * ANN_IVF_Q)) for x in e]
+
+    sample = [
+        (i, q(e))
+        for i, e in items
+        if sample_hex >= 16
+        or hashlib.md5(str(i).encode()).hexdigest()[0] < _HEXD[sample_hex]
+    ]
+    seeds = sorted(
+        sample, key=lambda t: hashlib.md5(str(t[0]).encode()).hexdigest()
+    )[:ANN_IVF_K]
+    cent = {
+        (k, d): (v, 1)
+        for k, (_i, lv) in enumerate(seeds)
+        for d, v in enumerate(lv)
+    }
+
+    def assign(lv):
+        best = None
+        for k in range(ANN_IVF_K):
+            if (k, 0) not in cent:
+                continue
+            num = 0
+            for d, v in enumerate(lv):
+                s, n = cent[(k, d)]
+                num += (n * v - s) * (n * v - s)
+            n = cent[(k, 0)][1]
+            dist = float(num) / float(n * n)
+            if best is None or dist < best[0] or (
+                dist == best[0] and k < best[1]
+            ):
+                best = (dist, k)
+        return best[1]
+
+    for _ in range(ANN_IVF_ROUNDS):
+        agg: dict = {}
+        for i, lv in sample:
+            k = assign(lv)
+            for d, v in enumerate(lv):
+                s, n = agg.get((k, d), (0, 0))
+                agg[(k, d)] = (s + v, n + 1)
+        cent = agg
+    rows = sorted((k, d, s, n) for (k, d), (s, n) in cent.items())
+    cells = {i: assign(q(e)) for i, e in items}
+    return rows, cells
+
+
 def embed_py(text: str) -> list[float]:
     """Pure-Python twin of _emb_dims (golden tests; refspec-style parity)."""
     dims = [0.0] * EMB_DIM

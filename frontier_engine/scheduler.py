@@ -851,16 +851,40 @@ class FrontierScheduler:
             # ANN index over this cycle's fetched corpus: the SAME transform
             # the driver's ann_index_cells query oracle-checks
             # (corpus.ann_enrich) — deterministic hashed-word embedding +
-            # hyperplane-LSH cell, all JVM built-ins, one projection.
-            # Partitioned by cell: a similarity probe over the engine's own
-            # corpus is a partition-pruned scan of one (or a few) cells.
-            from .corpus import N_HYPER, ann_enrich
+            # coarse cell, all JVM built-ins. Partitioned by cell: a
+            # similarity probe over the engine's own corpus is a
+            # partition-pruned scan of one (or a few) cells.
+            from .corpus import ANN_IVF_K, N_HYPER, ann_enrich
 
             aidx = ann_enrich(
                 done.select("url_hash", "host_bucket", "_text"), "_text"
-            ).select(*schemas.ANN_INDEX.fieldNames())
+            )
+            if cfg.ann_index_mode == "ivf":
+                # trained coarse quantizer (round-4 verdict #4): seeded
+                # quantized-integer k-means over a deterministic md5
+                # sample of the cycle's docs; the 256-row centroid stats
+                # collect driver-side (probe-metadata-sized) and come
+                # back as a broadcast literal for the single full-corpus
+                # assignment pass. Stats are committed (ann_centroids)
+                # so probes can cell-route queries; golden vs ivf_py.
+                from .corpus import ivf_assign_cells, ivf_train_collect
+
+                cent_rows = ivf_train_collect(
+                    aidx, "url_hash", sample_hex=cfg.ann_ivf_sample_hex
+                )
+                aidx = ivf_assign_cells(spark, aidx, "url_hash", cent_rows)
+                tables["ann_centroids"] = (
+                    spark.createDataFrame(
+                        cent_rows, schemas.ANN_CENTROIDS
+                    ).coalesce(1),
+                    None,
+                )
+                n_cells = ANN_IVF_K
+            else:
+                n_cells = 1 << N_HYPER
+            aidx = aidx.select(*schemas.ANN_INDEX.fieldNames())
             tables["ann_index"] = (
-                aidx.repartition(1 << N_HYPER, "cell"),
+                aidx.repartition(n_cells, "cell"),
                 ["cell"],
             )
 

@@ -83,6 +83,17 @@ ND_BUCKETS = T.StructType(
     ]
 )
 
+# trained-IVF centroid stats (cfg.ann_index_mode="ivf"): integer sums so a
+# probe recomputes the exact same distances as the build (corpus.ivf_py)
+ANN_CENTROIDS = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("d", T.IntegerType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
 ANN_INDEX = T.StructType(
     [
         T.StructField("url_hash", T.LongType()),

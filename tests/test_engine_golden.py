@@ -885,3 +885,64 @@ def test_nd_closure_incremental_matches_full_recompute(
         ).collect()
     }
     assert reps == {k: min(ids) for k, ids in buckets.items()}
+
+
+def test_ann_index_trained_ivf_golden(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """cfg.ann_index_mode="ivf" (round-4 verdict #4): the committed
+    ann_index cells come from a TRAINED coarse quantizer — seeded
+    quantized-integer k-means over a deterministic md5 SAMPLE of the
+    cycle's docs (sample_hex=8 here: half the docs train, ALL docs are
+    assigned). Committed centroid stats and every row's cell must equal
+    the pure-Python twin exactly, the table must be hive-partitioned by
+    trained cell, and a literal-cell probe plan must partition-prune."""
+    import dataclasses
+
+    from frontier_engine import schemas
+    from frontier_engine.corpus import ANN_IVF_K, ivf_py
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix),
+        ann_index=True,
+        ann_index_mode="ivf",
+        ann_ivf_sample_hex=8,
+    )
+    work = str(tmp_path_factory.mktemp("engine-ann-ivf"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=1)
+
+    rows = eng.io.read_cycle(
+        spark, "ann_index", 1, schemas.ANN_INDEX
+    ).collect()
+    assert len(rows) > 30
+    items = [(r["url_hash"], list(r["emb"])) for r in rows]
+    want_cent, want_cells = ivf_py(items, sample_hex=8)
+
+    got_cent = sorted(
+        (r["k"], r["d"], r["s"], r["n"])
+        for r in eng.io.read_cycle(
+            spark, "ann_centroids", 1, schemas.ANN_CENTROIDS
+        ).collect()
+    )
+    assert got_cent == want_cent
+    for r in rows:
+        assert r["cell"] == want_cells[r["url_hash"]], r["url_hash"]
+    cells = {r["cell"] for r in rows}
+    assert 1 < len(cells) <= ANN_IVF_K  # genuinely multi-cell
+
+    # hive trained-cell layout on disk + partition-pruned probe plan
+    m = eng.io.manifest(1)
+    tdir = os.path.join(eng.io.root, m["tables"]["ann_index"])
+    assert any(n.startswith("cell=") for n in os.listdir(tdir))
+    probe_cell = sorted(cells)[0]
+    from pyspark.sql import functions as F
+
+    probe = eng.io.read_cycle(
+        spark, "ann_index", 1, schemas.ANN_INDEX
+    ).where(F.col("cell") == F.lit(probe_cell))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
