@@ -292,7 +292,21 @@ def filter_locations(io, through_cycle: int):
     filters committed ≤ through_cycle. The map is the logical carry-forward:
     a bucket missing from newer deltas had no url_seen rows since its entry's
     cycle, so that old row still covers it through last_build_cycle. Cost:
-    manifest JSONs only — no data reads."""
+    manifest JSONs only — no data reads.
+
+    Mixed-era safety (round-4 advice): pre-parquet-store manifests
+    (round-2 .npz sidecars) have "filters" but no "filters_buckets"; their
+    data lives outside TableIO and is unreadable here. Worse, parquet
+    builds LAYERED on such a build may cover only their delta range —
+    trusting them would misclassify older url_seen rows as definitely-new
+    (duplicate crawls). So hitting a legacy manifest POISONS the walk
+    unless a "filters_full" build (one whose inserts covered deltas from
+    cycle 1, or a consolidation of clean rows) was already visited above
+    it: poisoned stores return (0, {}), which routes every candidate
+    through the exact anti-join AND makes the next rebuild_filters insert
+    from cycle 1 — marking itself filters_full, so the store self-heals
+    after one cycle. A visited filters_full manifest also ends the walk:
+    it covered every data-bearing bucket, so older entries are moot."""
     last_build = 0
     loc: dict[int, int] = {}
     for c in range(through_cycle, 0, -1):
@@ -302,20 +316,14 @@ def filter_locations(io, through_cycle: int):
         meta = m.get("meta", {})
         if meta.get("filters") is None:
             continue
-        # Pre-parquet-store manifests (round-2 .npz sidecars) have "filters"
-        # but no "filters_buckets"; their data lives outside TableIO and is
-        # unreadable here. Treating one as a valid build would set last_build
-        # while loc stays empty, so later rebuilds would only cover deltas
-        # after it and URLs first seen at-or-before it could test
-        # definitely-new (filter false negatives -> duplicate crawls).
-        # Skip them: the next rebuild then covers deltas from cycle 1 and
-        # the prefilter falls back to the exact anti-join meanwhile.
         if "filters_buckets" not in meta:
-            continue
+            return 0, {}  # legacy build with no clean full build above it
         if last_build == 0:
             last_build = c
         for b in meta.get("filters_buckets", []):
             loc.setdefault(int(b), c)
+        if meta.get("filters_full"):
+            break
     return last_build, loc
 
 
@@ -617,10 +625,24 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
             for n in os.listdir(fdir):
                 if n.startswith("cycle=") and int(n.split("=")[1]) < cycle:
                     _shutil.rmtree(os.path.join(fdir, n), ignore_errors=True)
-        return {"filters": len(written), "filters_buckets": sorted(written)}
+        # consolidation leaves every live bucket with a row at this cycle:
+        # a clean full snapshot (poisoned stores can't reach here with
+        # copies — filter_locations returns (0, {}) for them, forcing the
+        # from-scratch branch below instead)
+        return {
+            "filters": len(written),
+            "filters_buckets": sorted(written),
+            "filters_full": True,
+        }
 
     covered = set(prev_loc) | written
-    return {
+    meta = {
         "filters": len(covered),
         "filters_buckets": sorted(written),
     }
+    if prev_found == 0:
+        # built from deltas 1..cycle -> covers every data-bearing bucket
+        # from clean history; lets filter_locations stop here and clears
+        # any mixed-era poison below (self-heal)
+        meta["filters_full"] = True
+    return meta

@@ -310,3 +310,51 @@ def test_logical_carry_forward_no_copy(spark, tmp_path):
     g = load_bucket_filter(io.root, loc[1], 1)
     both = np.array(list(range(100)) + list(range(200, 250)), dtype=np.uint64)
     assert g.contains_many(both).all()
+
+
+def test_mixed_era_store_poisons_until_full_rebuild(spark, tmp_path):
+    """Round-4 advice: a parquet delta build LAYERED on a legacy (.npz-era)
+    build may cover only its delta range, so a mixed-era store must not be
+    trusted at all — filter_locations returns (0, {}) (exact anti-join
+    everywhere), the next rebuild inserts from cycle 1 and marks itself
+    filters_full, and the store self-heals: after it, filter_locations
+    trusts entries again and stops the walk at the full build."""
+    from frontier_engine import membership, schemas
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    cfg = EngineConfig(n_buckets=4)
+
+    def seen_df(rows, cycle):
+        return spark.createDataFrame(
+            [(int(h), b, cycle) for h, b in rows], schemas.URL_SEEN
+        )
+
+    # cycle 1: legacy build (no filters_buckets); cycle 2: a parquet build
+    # layered on it (simulated: meta claims bucket 1 at cycle 2)
+    io.commit(1, {"url_seen": (seen_df([(h, 1) for h in range(100)], 1),
+                               ["host_bucket"])})
+    io.commit_meta_update(1, {"filters": 1})
+    io.commit(2, {"url_seen": (seen_df([(h, 1) for h in range(200, 250)], 2),
+                               ["host_bucket"])})
+    io.commit_meta_update(2, {"filters": 1, "filters_buckets": [1]})
+
+    # poisoned: the layered entry above the legacy build is NOT trusted
+    assert filter_locations(io, 2) == (0, {})
+
+    # cycle 3 rebuild: prev_found == 0 -> inserts deltas 1..3, flags full
+    io.commit(3, {"url_seen": (seen_df([(h, 1) for h in range(300, 320)], 3),
+                               ["host_bucket"])})
+    m3 = membership.rebuild_filters(spark, io, 3, cfg)
+    assert m3.get("filters_full") is True
+    io.commit_meta_update(3, m3)
+
+    last_build, loc = filter_locations(io, 3)
+    assert last_build == 3 and loc.get(1) == 3  # healed, trusted again
+    f = load_bucket_filter(io.root, 3, 1)
+    allh = np.array(
+        list(range(100)) + list(range(200, 250)) + list(range(300, 320)),
+        dtype=np.uint64,
+    )
+    assert f.contains_many(allh).all()  # full history covered
