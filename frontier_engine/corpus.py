@@ -78,38 +78,43 @@ def band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for i in range(N_PERM)
         ]
     )
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    return bands
+    # one band row per (doc, band) via a single explode — NOT a 4-way
+    # union of projections over sig: Spark does not share the union
+    # branches' common aggregation subtree (exchange reuse misses it), so
+    # the union shape re-ran the whole shingle-explode + signature
+    # pipeline once PER BAND (measured 103 s -> 26 s for 180k docs;
+    # identical rows either way)
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey"))
 
 
-def enrich(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    bands: DataFrame | None = None,
-) -> DataFrame:
-    """Append the enrichment columns to ``df`` (keyed by ``id_col``).
-
-    Plan shape: one projection for the scalar stats; for nd_group one
-    explode -> groupBy(band, bkey) -> min(id) -> per-id min — a banded
-    aggregation whose fan-in is bounded by band-bucket size, never an
-    all-pairs join.
-    """
-    idc = F.col(id_col)
+def enrich_scalars(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The per-row enrichment columns alone (no nd_group join): one
+    projection, whole-stage codegen. Split out so the scheduler can fuse
+    it with the ANN embedding into ONE persisted pass over the cycle's
+    corpus (separate write jobs don't share plan subtrees — unfused, each
+    consumer re-ran its own tokenize+filter work over the cached rows)."""
     text = F.col(text_col)
     words = F.split(text, " ")
     stops = F.filter(words, lambda w: (w == "the") | (w == "a"))
     tech = F.filter(
         words, lambda w: (w == "spark") | (w == "query") | (w == "data")
     )
-    scalars = df.select(
+    return df.select(
         "*",
         F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")).alias("fp"),
         F.size(words).cast("long").alias("n_words"),
@@ -122,14 +127,14 @@ def enrich(
         .alias("predicted_lang"),
     )
 
-    # near-dup group: min id over shared MinHash band buckets (one hop).
-    # ``bands`` lets the caller pass an already-PERSISTED band_keys frame:
-    # the scheduler commits nd_bands AND derives nd_group from the same
-    # rows, and Spark's exchange reuse does not span separate write jobs —
-    # without sharing, each concurrent commit re-executes the whole
-    # shingle-explode + 8-agg signature pipeline.
-    if bands is None:
-        bands = band_keys(df, id_col, text_col)
+
+def nd_group_join(
+    scalars: DataFrame, bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Append ``nd_group`` = min id over shared MinHash band buckets (one
+    LSH hop): explode-free banded aggregation whose fan-in is bounded by
+    band-bucket size, never an all-pairs join. Shingle-less docs (no band
+    rows) group with themselves."""
     groups = bands.groupBy("band", "bkey").agg(F.min("_id").alias("g"))
     doc_g = (
         bands.join(groups, ["band", "bkey"])
@@ -140,8 +145,32 @@ def enrich(
         scalars.join(
             doc_g.withColumnRenamed("_id", id_col), id_col, "left"
         )
-        .withColumn("nd_group", F.coalesce("nd_group", idc.cast("long")))
+        .withColumn(
+            "nd_group",
+            F.coalesce("nd_group", F.col(id_col).cast("long")),
+        )
     )
+
+
+def enrich(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """Append the enrichment columns to ``df`` (keyed by ``id_col``).
+
+    Plan shape: one projection for the scalar stats (enrich_scalars); for
+    nd_group one explode -> groupBy(band, bkey) -> min(id) -> per-id min
+    (nd_group_join). ``bands`` lets the caller pass an already-PERSISTED
+    band_keys frame: the scheduler commits nd_bands AND derives nd_group
+    from the same rows, and Spark's exchange reuse does not span separate
+    write jobs — without sharing, each concurrent commit re-executes the
+    whole shingle-explode + 8-agg signature pipeline.
+    """
+    if bands is None:
+        bands = band_keys(df, id_col, text_col)
+    return nd_group_join(enrich_scalars(df, id_col, text_col), bands, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -176,50 +205,65 @@ def hyperplane_weights() -> list[list[float]]:
     return w
 
 
-def _emb_dims(text_col):
-    """EMB_DIM signed-count columns (feature hashing over words).
-
-    Each word is md5-hashed ONCE into its 2-hex-char (dim, sign) prefix;
-    the per-dim filters then compare those tiny strings. The earlier
-    spelling re-evaluated md5 inside every dim's filters — ~32 md5 calls
-    per word in the interpreted higher-order path, which made the
-    committed ANN stage the dominant cost of a stage-stack bench cycle
-    (244 s of a 260 s commit at 180k docs; same values either way —
-    embed_py / DuckDB twins unchanged)."""
-    words = F.split(text_col, " ")
-    hashed = F.transform(words, lambda w: F.substring(F.md5(w), 1, 2))
-
-    # NOTE: pyspark higher-order fns pass (element, index) to 2-arg lambdas,
-    # so the dim must be captured via a closure factory, not a default arg
-    def dim_pred(hexc):
-        return lambda h: F.substring(h, 1, 1) == hexc
-
-    dims = []
-    for i in range(EMB_DIM):
-        in_dim = F.filter(hashed, dim_pred(_HEXD[i]))
-        pos = F.size(
-            F.filter(in_dim, lambda h: F.substring(h, 2, 1) < "8")
-        )
-        dims.append((2 * pos - F.size(in_dim)).cast("double"))
-    return dims
-
-
-def ann_enrich(df: DataFrame, text_col: str) -> DataFrame:
-    """Append `emb` (array<double>, EMB_DIM dims) and `cell` (int,
-    hyperplane-LSH bucket) to ``df``. One projection, no shuffle."""
-    dims = _emb_dims(F.col(text_col))
+def _cell_expr(dim_cols):
+    """Hyperplane-LSH cell from 16 dim expressions (sign-bit integer)."""
     w = hyperplane_weights()
     cell = None
     for j in range(N_HYPER):
         proj = None
         for i in range(EMB_DIM):
-            term = dims[i] if w[j][i] > 0 else -dims[i]
+            term = dim_cols[i] if w[j][i] > 0 else -dim_cols[i]
             proj = term if proj is None else proj + term
         bit = (proj > 0).cast("int") * (1 << j)
         cell = bit if cell is None else cell + bit
-    return df.select(
-        "*", F.array(*dims).alias("emb"), cell.cast("int").alias("cell")
+    return cell.cast("int")
+
+
+def ann_enrich(
+    df: DataFrame, text_col: str, id_col: str = "url_hash"
+) -> DataFrame:
+    """Append `emb` (array<double>, EMB_DIM dims) and `cell` (int,
+    hyperplane-LSH bucket) to ``df`` (keyed by ``id_col``).
+
+    Plan shape: explode words -> one md5 per word -> EMB_DIM conditional
+    sums in ONE whole-stage-codegen aggregation -> join back on the key.
+    The earlier shuffle-free spelling (16 higher-order array filters per
+    row) kept everything in one Project but ran INTERPRETED — measured
+    98 s vs 15 s for 180k docs. The shuffle this introduces is map-side
+    combined: partial aggregation reduces each doc to 16 numbers before
+    the exchange, so shuffle volume is docs x 16 doubles, never words.
+    Values are bit-identical to the old spelling (same md5 dims/signs —
+    embed_py / cell_py / the DuckDB twin are unchanged)."""
+    w = df.select(
+        F.col(id_col).alias("_aid"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
     )
+    sign = F.when(F.substring("_h2", 2, 1) < "8", 1).otherwise(-1)
+    per = (
+        w.select("_aid", F.substring(F.md5("_w"), 1, 2).alias("_h2"))
+        .groupBy("_aid")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.substring("_h2", 1, 1) == _HEXD[i], sign
+                    ).otherwise(0)
+                )
+                .cast("double")
+                .alias(f"_e{i}")
+                for i in range(EMB_DIM)
+            ]
+        )
+    )
+    dim_cols = [F.col(f"_e{i}") for i in range(EMB_DIM)]
+    emb = per.select(
+        "_aid",
+        F.array(*dim_cols).alias("emb"),
+        _cell_expr(dim_cols).alias("cell"),
+    )
+    # inner join is total: split() never yields an empty array (even ""
+    # becomes [""]), so every input id has an aggregation row
+    return df.join(emb, df[id_col] == emb["_aid"]).drop("_aid")
 
 
 # ---------------------------------------------------------------------------
@@ -400,7 +444,8 @@ def ivf_py(items, sample_hex: int = 16) -> tuple:
 
 
 def embed_py(text: str) -> list[float]:
-    """Pure-Python twin of _emb_dims (golden tests; refspec-style parity)."""
+    """Pure-Python twin of ann_enrich's per-doc embedding (golden tests;
+    refspec-style parity): signed counts of words by md5 dim/sign."""
     dims = [0.0] * EMB_DIM
     for w in text.split(" "):
         h = hashlib.md5(w.encode("utf-8")).hexdigest()

@@ -585,14 +585,31 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: 4 bands of 2 rows; pairs sharing any
     band bucket (the scalable near-dup join)."""
     sig = q_minhash_signatures(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # single explode, not a 4-way union of projections: union branches do
+    # not share their common signature subtree (exchange reuse misses it),
+    # so the union shape re-ran the shingle+signature pipeline per band —
+    # and this frame is SELF-JOINED below, multiplying the re-runs.
+    # Identical rows either way (same oracle).
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))
+                        ).alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(
+        "doc_id",
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bkey").alias("bkey"),
+    )
     left = bands.alias("x")
     right = bands.alias("y")
     return (
@@ -854,20 +871,38 @@ def q_simhash64_bands(spark, sf_dir):
     sim = bits.select(
         "doc_id", half["sim_lo"].alias("sim_lo"), half["sim_hi"].alias("sim_hi")
     )
-    bands = None
-    for b, expr in enumerate(
-        [
-            F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
-            F.shiftright("sim_lo", 16),
-            F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
-            F.shiftright("sim_hi", 16),
-        ]
-    ):
-        part = sim.select(
-            "doc_id", "sim_lo", "sim_hi",
-            F.lit(b).alias("band"), expr.cast("long").alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # single explode, not a 4-way union (see q_minhash_lsh_pairs: union
+    # branches re-run the shared simhash subtree, and this frame is
+    # self-joined). Identical rows either way.
+    bands = sim.select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        expr.cast("long").alias("bkey"),
+                    )
+                    for b, expr in enumerate(
+                        [
+                            F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+                            F.shiftright("sim_lo", 16),
+                            F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+                            F.shiftright("sim_hi", 16),
+                        ]
+                    )
+                ]
+            )
+        ).alias("_bb"),
+    ).select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bkey").alias("bkey"),
+    )
     x, y = bands.alias("x"), bands.alias("y")
     ham = F.bit_count(
         F.col("x.sim_lo").bitwiseXOR(F.col("y.sim_lo"))
@@ -1523,7 +1558,7 @@ def q_ann_index_cells(spark, sf_dir):
     from .corpus import ann_enrich
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = ann_enrich(d, "text")
+    out = ann_enrich(d, "text", id_col="doc_id")
     l1 = F.aggregate("emb", F.lit(0.0), lambda a, x: a + F.abs(x))
     nnz = F.size(F.filter("emb", lambda x: x != 0))
     return out.select(

@@ -659,12 +659,34 @@ class FrontierScheduler:
                 None,
             )
 
+        # shared corpus projection for the value-add stages: the scalar
+        # enrichment AND the ANN embedding/cell are fused into ONE
+        # persisted pass over the cycle's fetched text (stage_frame) —
+        # separate write jobs don't share plan subtrees, so unfused, the
+        # page_stats and ann_index writes each re-ran their own
+        # tokenize + higher-order-filter work over the cached rows (the
+        # dominant interpreted per-row cost of a stage-stack cycle).
+        # Consumers below only column-prune the warm cache.
+        stage_frame = None
+        if cfg.enrich_pages or cfg.ann_index:
+            from .corpus import ann_enrich, enrich_scalars
+
+            stage_frame = done.select("url_hash", "host_bucket", "_text")
+            if cfg.enrich_pages:
+                stage_frame = enrich_scalars(
+                    stage_frame, "url_hash", "_text"
+                )
+            if cfg.ann_index:
+                stage_frame = ann_enrich(stage_frame, "_text")
+            stage_frame = stage_frame.drop("_text")
+            stage_frame.persist()
+
         if cfg.enrich_pages:
             # training-data stage over this cycle's fetched corpus: the SAME
             # transform the driver's corpus_enrich query oracle-checks
             # (corpus.enrich), committed with everything else. Pure built-ins
             # + one banded LSH agg — no Python, no all-pairs join.
-            from .corpus import band_keys, enrich
+            from .corpus import band_keys, nd_group_join
 
             # materialize the MinHash band rows ONCE (persist): they feed
             # THREE consumers — page_stats' nd_group, the committed
@@ -676,16 +698,9 @@ class FrontierScheduler:
             nd_bands_full = band_keys(
                 done.select("url_hash", "_text"), "url_hash", "_text"
             ).persist()
-            pstats = (
-                enrich(
-                    done.select("url_hash", "host_bucket", "_text"),
-                    "url_hash",
-                    "_text",
-                    bands=nd_bands_full,
-                )
-                .drop("_text")
-                .select(*schemas.PAGE_STATS.fieldNames())
-            )
+            pstats = nd_group_join(
+                stage_frame, nd_bands_full, "url_hash"
+            ).select(*schemas.PAGE_STATS.fieldNames())
             tables["page_stats"] = (
                 pstats.repartition(cfg.n_buckets, "host_bucket"),
                 ["host_bucket"],
@@ -851,14 +866,13 @@ class FrontierScheduler:
             # ANN index over this cycle's fetched corpus: the SAME transform
             # the driver's ann_index_cells query oracle-checks
             # (corpus.ann_enrich) — deterministic hashed-word embedding +
-            # coarse cell, all JVM built-ins. Partitioned by cell: a
+            # coarse cell, all JVM built-ins (already computed once in the
+            # shared stage_frame pass above). Partitioned by cell: a
             # similarity probe over the engine's own corpus is a
             # partition-pruned scan of one (or a few) cells.
-            from .corpus import ANN_IVF_K, N_HYPER, ann_enrich
+            from .corpus import ANN_IVF_K, N_HYPER
 
-            aidx = ann_enrich(
-                done.select("url_hash", "host_bucket", "_text"), "_text"
-            )
+            aidx = stage_frame
             if cfg.ann_index_mode == "ivf":
                 # trained coarse quantizer (round-4 verdict #4): seeded
                 # quantized-integer k-means over a deterministic md5
@@ -981,9 +995,13 @@ class FrontierScheduler:
         # the pipeline (persist() does not dedupe concurrent materialization).
         # nd_bands is warmed second for the same reason: its persisted band
         # rows feed page_stats' nd_group too, and the two writes racing
-        # would each re-run the shingle+signature pipeline.
+        # would each re-run the shingle+signature pipeline. ann_index is
+        # warmed third: its write materializes the shared stage_frame
+        # (scalar enrichment + embedding, fused in one pass), which the
+        # concurrent page_stats write then reads warm.
         manifest = io.commit(
-            cycle, tables, meta=meta, warm=("lineage", "nd_bands")
+            cycle, tables, meta=meta,
+            warm=("lineage", "nd_bands", "ann_index"),
         )
         tick("commit writes")
 
@@ -1012,7 +1030,7 @@ class FrontierScheduler:
         tick("read lineage")
 
         for df in (cand, ingested, pending_all, ranked, fetched,
-                   nd_bands_full, *nd_closure_frames):
+                   nd_bands_full, stage_frame, *nd_closure_frames):
             if df is not None:
                 df.unpersist()
 

@@ -96,10 +96,18 @@ class TableIO:
 
         entry: dict = {"cycle": cycle, "parent": cycle - 1, "tables": {}}
 
+        _timing = os.environ.get("FRONTIER_TIMING") == "1"
+
         def write_one(item):
             name, (df, part) = item
             rel = f"{name}/cycle={cycle}"
+            t0 = time.time()
             self._write_df(df, rel, part)
+            if _timing:
+                print(
+                    f"    [commit {cycle}] {name}: {time.time() - t0:.1f}s",
+                    flush=True,
+                )
             return name, rel
 
         for name in warm:

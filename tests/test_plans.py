@@ -82,18 +82,22 @@ def test_prefilter_adds_no_exchange(spark, tiny_fixture_dir,
 
 def test_ann_stage_stays_jvm_side(spark):
     """corpus.ann_enrich (the committed ann_index stage) must be pure
-    JVM-side built-ins: no Python eval (ArrowEval/BatchEval) nodes and no
-    Exchange — a single Project (higher-order fns run interpreted, not
-    codegen'd, but never cross the Python boundary)."""
+    JVM-side built-ins: no Python eval (ArrowEval/BatchEval) nodes, and
+    the embedding aggregation must be map-side combined (partial
+    HashAggregate before its exchange) — the round-5 explode+agg spelling
+    replaced 16 interpreted higher-order filters per row (98 s -> 15 s at
+    180k docs) at the cost of a shuffle that carries only docs x 16
+    partials, never word rows."""
     from frontier_engine.corpus import ann_enrich
 
     df = spark.createDataFrame(
         [(1, "spark query data"), (2, "the a the")], "id long, text string"
     )
-    plan = _plan(ann_enrich(df, "text"))
+    plan = _plan(ann_enrich(df, "text", id_col="id"))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "Exchange" not in plan, plan
-    assert "Project" in plan, plan
+    assert "HashAggregate" in plan, plan
+    # partial (map-side) aggregation appears below the exchange
+    assert plan.index("partial_sum") > plan.index("Exchange"), plan
 
 
 def test_sampling_and_packing_plans(spark):
