@@ -443,6 +443,81 @@ def ivf_py(items, sample_hex: int = 16) -> tuple:
     return rows, cells
 
 
+def ivf_route_py(cent_rows, emb, nprobe: int = 1) -> list[int]:
+    """Route a query embedding to its ``nprobe`` nearest TRAINED cells
+    using the committed centroid stats (``ann_centroids`` rows as
+    ``(k, d, s, n)`` tuples) — the query side of the IVF index. Same
+    exactness discipline as assignment (``_ivf_assign`` / ``ivf_py``):
+    quantized int64 query, exact integer numerator Σ_d (n·v_d − s_kd)²,
+    one double division per cell, ties to smallest k — so nprobe=1
+    routing reproduces the committed assignment of any indexed vector
+    bit-for-bit. Pure Python over K×D = 256 rows (probe metadata,
+    collected driver-side exactly like the multiprobe cell literals)."""
+    import math
+
+    lv = [int(math.floor(x * ANN_IVF_Q)) for x in emb]
+    stats: dict = {}
+    for k, d, s, n in cent_rows:
+        stats[(k, d)] = (s, n)
+    scored = []
+    for k in sorted({k for k, _d in stats}):
+        n = stats[(k, 0)][1]
+        num = sum(
+            (n * v - stats[(k, d)][0]) ** 2 for d, v in enumerate(lv)
+        )
+        scored.append((float(num) / float(n * n), k))
+    scored.sort()
+    return [k for _dist, k in scored[:nprobe]]
+
+
+def ivf_probe_topk(
+    spark, io, cycle: int, query_emb, topk: int = 5, nprobe: int = 1
+) -> DataFrame:
+    """Similarity search over the committed trained-IVF ``ann_index``:
+    route the query to its ``nprobe`` nearest trained cells via
+    ``ann_centroids`` (ivf_route_py, driver-side over K×D tiny rows),
+    then exact cosine top-k over ONLY those cell partitions. The routed
+    cells are plan-time literals, so the hive-partitioned index scan
+    partition-prunes to ``nprobe`` dirs (pinned in the engine golden) —
+    the other ANN_IVF_K − nprobe cells are never read; top-k compiles to
+    TakeOrderedAndProject, never a global sort."""
+    import math
+
+    from . import schemas
+
+    qn = math.sqrt(sum(x * x for x in query_emb))
+    if qn == 0:
+        raise ValueError("zero-norm query embedding")
+    cent_rows = [
+        (r["k"], r["d"], r["s"], r["n"])
+        for r in io.read_cycle(
+            spark, "ann_centroids", cycle, schemas.ANN_CENTROIDS
+        ).collect()
+    ]
+    cells = ivf_route_py(cent_rows, query_emb, nprobe)
+    qe = F.array(*[F.lit(float(x)) for x in query_emb])
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    base = (
+        io.read_cycle(spark, "ann_index", cycle, schemas.ANN_INDEX)
+        .where(F.col("cell").isin(cells))
+        .select("url_hash", "emb", norm.alias("nrm"))
+        .where("nrm > 0")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), qe, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        base.select(
+            "url_hash",
+            F.round(dot / (F.col("nrm") * F.lit(qn)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("url_hash"))
+        .limit(topk)
+    )
+
+
 def embed_py(text: str) -> list[float]:
     """Pure-Python twin of ann_enrich's per-doc embedding (golden tests;
     refspec-style parity): signed counts of words by md5 dim/sign."""

@@ -946,3 +946,41 @@ def test_ann_index_trained_ivf_golden(
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters", 1
     )[1][:200], plan
+
+    # -- query-side routing (the probe half of the IVF path) -------------
+    # nprobe=1 routing via the committed centroid stats must reproduce
+    # every indexed vector's committed assignment bit-for-bit
+    from frontier_engine.corpus import ivf_probe_topk, ivf_route_py
+
+    for r in rows[:20]:
+        assert ivf_route_py(got_cent, list(r["emb"]), nprobe=1) == [
+            want_cells[r["url_hash"]]
+        ]
+
+    # routed nprobe=2 probe: exact cosine top-3 over ONLY the two routed
+    # cell partitions, vs a pure-Python recompute from the same rows
+    qrow = min((r for r in rows if any(r["emb"])), key=lambda r: r["url_hash"])
+    qemb = list(qrow["emb"])
+    route = ivf_route_py(got_cent, qemb, nprobe=2)
+    assert len(route) == 2 and route[0] == qrow["cell"]
+    got = ivf_probe_topk(
+        spark, eng.io, 1, qemb, topk=3, nprobe=2
+    )
+    pplan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and "TakeOrderedAndProject" in pplan
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qemb))
+    want = []
+    for r in rows:
+        if r["cell"] not in route:
+            continue
+        nrm = math.sqrt(sum(x * x for x in r["emb"]))
+        if nrm == 0:
+            continue
+        dot = sum(a * b for a, b in zip(r["emb"], qemb))
+        want.append((round(dot / (nrm * qn), 6), r["url_hash"]))
+    want.sort(key=lambda t: (-t[0], t[1]))
+    assert [
+        (r["cos_sim"], r["url_hash"]) for r in got.collect()
+    ] == [(c, u) for c, u in want[:3]]
