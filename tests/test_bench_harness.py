@@ -95,6 +95,36 @@ def test_baseline_consistent_runs_get_no_extras():
     assert sc["all_elapsed_N"] == [100.0, 104.0]
 
 
+def test_scale_hi_capacity_normalized_efficiency():
+    """The secondary 8->32 datapoint: raw efficiency uses the ideal core
+    ratio (32/8 = 4x) while the adaptive-retry gate and the extra
+    efficiency_vs_capacity field use the measured machine capacity
+    factor (this box's 32 vCPUs deliver ~2.4x its 8-vCPU rate, not 4x —
+    retrying until a hardware-unreachable 4x would always burn both
+    extras)."""
+    run = _runner({"local[8]": [100.0, 100.0], "local[32]": [45.0, 44.0]})
+    sc = bench.scaling_evidence(
+        1_000_000, "f", "p", 2, run, n_lo=8, n_hi=32, expect_factor=2.4
+    )
+    assert sc["N"] == 8 and sc["4N"] == 32
+    # hi tput 22.7k/s clears 0.80 * 2.4 * 10k = 19.2k -> no extras, even
+    # though it is far below the raw-4x gate (32k) that would misfire
+    assert sc["adaptive_extra_runs_4N"] == 0
+    # raw efficiency still honestly reported against ideal 4x cores
+    assert abs(sc["efficiency"] - round(100.0 / (4 * 44.0), 3)) < 1e-9
+    assert sc["capacity_factor"] == 2.4
+    assert abs(
+        sc["efficiency_vs_capacity"] - round(100.0 / (2.4 * 44.0), 3)
+    ) < 1e-9
+
+
+def test_default_scaling_has_no_capacity_keys():
+    run = _runner({"local[1]": [100.0, 100.0], "local[4]": [30.0, 29.0]})
+    sc = bench.scaling_evidence(1_000_000, "f", "p", 2, run)
+    assert "capacity_factor" not in sc
+    assert "efficiency_vs_capacity" not in sc
+
+
 def test_scaling_adaptive_retry_caps_at_two_and_keeps_best():
     # hi stays slow: exactly 2 extras, best-of-4 kept, honest eff < 0.80
     run = _runner(
