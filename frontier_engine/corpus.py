@@ -234,9 +234,16 @@ def ann_enrich(
     the exchange, so shuffle volume is docs x 16 doubles, never words.
     Values are bit-identical to the old spelling (same md5 dims/signs —
     embed_py / cell_py / the DuckDB twin are unchanged)."""
+    # NULL text is treated as the empty document: split(NULL) is NULL and
+    # explode(NULL) yields no rows, so without the coalesce a NULL-text id
+    # would silently vanish through the inner join below (and, via the
+    # fused stage_frame, from page_stats too). coalesce('') keeps the
+    # totality argument: split('') -> [''] -> one aggregation row.
     w = df.select(
         F.col(id_col).alias("_aid"),
-        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("_w"),
     )
     sign = F.when(F.substring("_h2", 2, 1) < "8", 1).otherwise(-1)
     per = (
@@ -261,8 +268,9 @@ def ann_enrich(
         F.array(*dim_cols).alias("emb"),
         _cell_expr(dim_cols).alias("cell"),
     )
-    # inner join is total: split() never yields an empty array (even ""
-    # becomes [""]), so every input id has an aggregation row
+    # inner join is total: after the NULL coalesce, split() never yields
+    # an empty array (even "" becomes [""]), so every input id has an
+    # aggregation row
     return df.join(emb, df[id_col] == emb["_aid"]).drop("_aid")
 
 
@@ -273,10 +281,17 @@ def ann_enrich(
 # trains its coarse quantizer on the corpus. Same exactness discipline as
 # the driver's ann_ivf_trained_topk query (queries._ivf_trained_train):
 # embeddings are QUANTIZED to int64 (floor(emb_d * ANN_IVF_Q)), centroid
-# stats (s_kd, n_k) are integer sums (aggregation-order-exact), assignment
-# compares the exact integer numerator Σ_d(n·v_d − s_kd)² with ONE double
-# division and ties broken by smallest k — so the whole training run is
-# bit-reproducible and has an exact pure-Python twin (ivf_py, golden).
+# stats (s_kd, n_k) are integer sums (aggregation-order-exact), and
+# assignment compares the exact integer distance Σ_d(v_d − c_kd)² against
+# the FLOOR-QUANTIZED centroid c_kd = ⌊s_kd / n_k⌋ (sign-safe floor via
+# pmod, so Spark `div`, DuckDB `//` and Python `//` all agree), ties
+# broken by smallest k. The residual is bounded by the quantized value
+# range — independent of cluster size — so the squared sum can NEVER
+# overflow int64 (the earlier n·v − s numerator grew with n² and would
+# overflow once a cluster holds ~10^5 docs, i.e. exactly at the corpus
+# scale this index targets). No division in the comparison at all: the
+# whole training run is integer-exact, bit-reproducible, and has an
+# exact pure-Python twin (ivf_py, golden).
 #
 # Scale shape: training runs over a deterministic md5-threshold SAMPLE of
 # the cycle's docs (sample_hex/16 of them — the id's md5 leading hex char;
@@ -305,17 +320,25 @@ def ivf_train_collect(
     from pyspark.sql import Window
 
     md5c = F.md5(F.col(id_col).cast("string"))
-    base = df.select(
+    full = df.select(
         F.col(id_col).alias("_vid"),
         F.transform(
             "emb", lambda x: F.floor(x * ANN_IVF_Q).cast("long")
         ).alias("lv"),
         md5c.alias("_m"),
     )
+    base = full
     if sample_hex < 16:
-        base = base.where(
+        base = full.where(
             F.substring("_m", 1, 1) < _HEXD[sample_hex]
         )
+        # Empty-sample fallback: a small cycle can have NO doc under the
+        # md5 threshold; an empty training set would silently commit an
+        # empty index (the assignment join is inner). Train on the whole
+        # cycle instead — deterministic, and only reachable when the
+        # cycle is tiny anyway (ivf_py mirrors this).
+        if base.limit(1).count() == 0:
+            base = full
     exploded = base.select("_vid", F.posexplode("lv").alias("d", "val"))
     exploded.persist()
     seeds = (
@@ -340,21 +363,26 @@ def ivf_train_collect(
 
 
 def _ivf_assign(exploded: DataFrame, cent_df: DataFrame, id_col: str):
-    """Nearest trained cell per id: exact integer numerator, one double
-    division, ties to smallest k (identical to the driver IVF query)."""
+    """Nearest trained cell per id: floor-quantized centroid c = ⌊s/n⌋
+    (sign-safe via pmod so the Spark/DuckDB/Python floors agree), exact
+    integer distance Σ(v − c)², ties to smallest k (identical to the
+    driver IVF query). The residual is bounded by the quantized value
+    range — cluster size never enters — so the sum can't overflow."""
     from pyspark.sql import Window
 
-    t = F.col("n") * F.col("val") - F.col("s")
+    centc = cent_df.select(
+        "k", "d", F.expr("(s - pmod(s, n)) div n").alias("c")
+    )
+    t = F.col("val") - F.col("c")
     num = (
-        exploded.join(F.broadcast(cent_df), "d")
-        .select(id_col, "k", "n", (t * t).alias("t"))
-        .groupBy(id_col, "k", "n")
+        exploded.join(F.broadcast(centc), "d")
+        .select(id_col, "k", (t * t).alias("t"))
+        .groupBy(id_col, "k")
         .agg(F.sum("t").alias("num"))
     )
-    dist = F.col("num").cast("double") / (
-        (F.col("n") * F.col("n")).cast("double")
+    wk = Window.partitionBy(id_col).orderBy(
+        F.col("num").asc(), F.col("k").asc()
     )
-    wk = Window.partitionBy(id_col).orderBy(dist.asc(), F.col("k").asc())
     return (
         num.withColumn("rn", F.row_number().over(wk))
         .where("rn = 1")
@@ -404,6 +432,8 @@ def ivf_py(items, sample_hex: int = 16) -> tuple:
         if sample_hex >= 16
         or hashlib.md5(str(i).encode()).hexdigest()[0] < _HEXD[sample_hex]
     ]
+    if not sample:  # empty-sample fallback, mirrors ivf_train_collect
+        sample = [(i, q(e)) for i, e in items]
     seeds = sorted(
         sample, key=lambda t: hashlib.md5(str(t[0]).encode()).hexdigest()
     )[:ANN_IVF_K]
@@ -421,13 +451,12 @@ def ivf_py(items, sample_hex: int = 16) -> tuple:
             num = 0
             for d, v in enumerate(lv):
                 s, n = cent[(k, d)]
-                num += (n * v - s) * (n * v - s)
-            n = cent[(k, 0)][1]
-            dist = float(num) / float(n * n)
-            if best is None or dist < best[0] or (
-                dist == best[0] and k < best[1]
+                t = v - s // n  # Python // floors, matching the pmod div
+                num += t * t
+            if best is None or num < best[0] or (
+                num == best[0] and k < best[1]
             ):
-                best = (dist, k)
+                best = (num, k)
         return best[1]
 
     for _ in range(ANN_IVF_ROUNDS):
@@ -448,10 +477,10 @@ def ivf_route_py(cent_rows, emb, nprobe: int = 1) -> list[int]:
     using the committed centroid stats (``ann_centroids`` rows as
     ``(k, d, s, n)`` tuples) — the query side of the IVF index. Same
     exactness discipline as assignment (``_ivf_assign`` / ``ivf_py``):
-    quantized int64 query, exact integer numerator Σ_d (n·v_d − s_kd)²,
-    one double division per cell, ties to smallest k — so nprobe=1
-    routing reproduces the committed assignment of any indexed vector
-    bit-for-bit. Pure Python over K×D = 256 rows (probe metadata,
+    quantized int64 query, floor-quantized centroid c_kd = ⌊s_kd/n_k⌋,
+    exact integer distance Σ_d (v_d − c_kd)², ties to smallest k — so
+    nprobe=1 routing reproduces the committed assignment of any indexed
+    vector bit-for-bit. Pure Python over K×D = 256 rows (probe metadata,
     collected driver-side exactly like the multiprobe cell literals)."""
     import math
 
@@ -461,11 +490,11 @@ def ivf_route_py(cent_rows, emb, nprobe: int = 1) -> list[int]:
         stats[(k, d)] = (s, n)
     scored = []
     for k in sorted({k for k, _d in stats}):
-        n = stats[(k, 0)][1]
         num = sum(
-            (n * v - stats[(k, d)][0]) ** 2 for d, v in enumerate(lv)
+            (v - stats[(k, d)][0] // stats[(k, d)][1]) ** 2
+            for d, v in enumerate(lv)
         )
-        scored.append((float(num) / float(n * n), k))
+        scored.append((num, k))
     scored.sort()
     return [k for _dist, k in scored[:nprobe]]
 
@@ -520,9 +549,10 @@ def ivf_probe_topk(
 
 def embed_py(text: str) -> list[float]:
     """Pure-Python twin of ann_enrich's per-doc embedding (golden tests;
-    refspec-style parity): signed counts of words by md5 dim/sign."""
+    refspec-style parity): signed counts of words by md5 dim/sign.
+    None mirrors ann_enrich's NULL coalesce (empty document)."""
     dims = [0.0] * EMB_DIM
-    for w in text.split(" "):
+    for w in (text or "").split(" "):
         h = hashlib.md5(w.encode("utf-8")).hexdigest()
         i = _HEXD.index(h[0])
         dims[i] += 1.0 if h[1] < "8" else -1.0

@@ -17,8 +17,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Java-regex metachars escaped by the RFC rule translation ("*" excluded —
-# it becomes ".*"); must stay in sync with robots_rfc.SPARK_ESC_CLASS
-_RX_META = r"([.^$+?(){}\[\]\\|])"
+# it becomes ".*"); shared with the pyspark-free semantics module so the
+# two translations cannot drift
+from .robots_rfc import SPARK_ESC_CLASS as _RX_META
 
 
 def budgets_df(spark, budgets: dict[str, int]) -> DataFrame:
@@ -59,6 +60,42 @@ def apply_robots(
     r = robots.select(
         "host", "disallow", *(["allow"] if has_allow else [])
     )
+    if rfc:
+        # Translate rules to (len, rx) structs HERE, in the dim
+        # projection BEFORE the join: the two regexp_replaces + concat
+        # per rule are per-host work (host-cardinality rows), not
+        # per-(pending row x rule) work. The joined big side only
+        # evaluates one regexp_like per rule below.
+        empty = F.array().cast("array<string>")
+
+        def rule_rx(x):
+            # column twin of robots_rfc.rule_regex: trailing "$" = end
+            # anchor, "*" = ".*", everything else regex-escaped
+            endd = x.endswith("$")
+            body = F.when(
+                endd, F.substring(x, F.lit(1), F.length(x) - 1)
+            ).otherwise(x)
+            esc = F.regexp_replace(body, _RX_META, r"\\$1")
+            return F.concat(
+                F.lit("^"),
+                F.regexp_replace(esc, r"\*", ".*"),
+                F.when(endd, F.lit("$")).otherwise(F.lit("")),
+            )
+
+        def rule_structs(col):
+            return F.transform(
+                F.coalesce(col, empty),
+                lambda x: F.struct(
+                    F.length(x).alias("l"), rule_rx(x).alias("rx")
+                ),
+            )
+
+        alw_src = F.col("allow") if has_allow else empty
+        r = r.select(
+            "host",
+            rule_structs(F.col("disallow")).alias("_dis_rx"),
+            rule_structs(alw_src).alias("_alw_rx"),
+        )
     # path extraction mirrors refspec's path_of (urlsplit().path or "/"),
     # NOT F.parse_url: java.net.URI returns NULL for URLs it can't parse
     # (e.g. raw spaces canonicalize() preserves verbatim), which would
@@ -77,43 +114,26 @@ def apply_robots(
         F.broadcast(r) if small else r, "host", "left"
     ).withColumn("_path", path)
     if rfc:
-        empty = F.array().cast("array<string>")
-
-        def rule_rx(x):
-            # column twin of robots_rfc.rule_regex: trailing "$" = end
-            # anchor, "*" = ".*", everything else regex-escaped
-            endd = x.endswith("$")
-            body = F.when(
-                endd, F.substring(x, F.lit(1), F.length(x) - 1)
-            ).otherwise(x)
-            esc = F.regexp_replace(body, _RX_META, r"\\$1")
-            return F.concat(
-                F.lit("^"),
-                F.regexp_replace(esc, r"\*", ".*"),
-                F.when(endd, F.lit("$")).otherwise(F.lit("")),
-            )
+        empty_structs = F.array().cast(
+            "array<struct<l:int,rx:string>>"
+        )
 
         def longest_match(col):
-            # (len, rx) structs are computed from the rule array the dim
-            # row carries — per-rule work, never per (row x rule) work
-            # beyond the final regexp_like match
-            structs = F.transform(
-                F.coalesce(col, empty),
-                lambda x: F.struct(
-                    F.length(x).alias("l"), rule_rx(x).alias("rx")
-                ),
-            )
+            # the structs were pre-translated on the dim side; per
+            # (row x rule) only the regexp_like match runs here.
+            # coalesce covers hosts with no robots row (left join).
             return F.aggregate(
                 F.filter(
-                    structs,
+                    F.coalesce(col, empty_structs),
                     lambda s: F.regexp_like(F.col("_path"), s["rx"]),
                 ),
                 F.lit(0),
                 lambda acc, s: F.greatest(acc, s["l"]),
             )
 
-        alw = F.col("allow") if has_allow else empty
-        blocked = longest_match(F.col("disallow")) > longest_match(alw)
+        blocked = (
+            longest_match(F.col("_dis_rx")) > longest_match(F.col("_alw_rx"))
+        )
     else:
         blocked = F.coalesce(
             F.exists("disallow", lambda d: F.col("_path").startswith(d)),
@@ -121,7 +141,7 @@ def apply_robots(
         )
     return (
         joined.withColumn("blocked", blocked)
-        .drop("disallow", "_path", *(["allow"] if has_allow else []))
+        .drop("disallow", "allow", "_path", "_dis_rx", "_alw_rx")
     )
 
 

@@ -314,8 +314,14 @@ def q_robots_longest_match(spark, sf_dir):
 def _sql_robots_longest_match() -> str:
     from .robots_rfc import rule_regex
 
+    def q(s: str) -> str:
+        # SQL string literal: double embedded single quotes. Backslashes
+        # (rule_regex escapes) stay literal — DuckDB standard-conforming
+        # strings do not process escapes.
+        return s.replace("'", "''")
+
     vals = ", ".join(
-        f"('{r}', {a}, '{rule_regex(r)}')" for r, a in _ROBOTS_RULES
+        f"('{q(r)}', {a}, '{q(rule_regex(r))}')" for r, a in _ROBOTS_RULES
     )
     return (
         "WITH paths AS (SELECT doc_id, '/d/' || doc_id AS path "
@@ -1360,10 +1366,15 @@ def _ivf_trained_train(spark, sf_dir):
     a float k-means is not): training runs in QUANTIZED INTEGER space,
     v_d = floor(emb_d * 1e4) as int64. Integer sums are associative, so
     centroid stats (s_kd, n_k) are bit-exact regardless of aggregation
-    order on either engine; assignment compares dist_k = Σ_d(n_k·v_d −
-    s_kd)² / n_k² — an exact int64 numerator (≤ ~2e15 < 2^53·4, within
-    int64) and ONE deterministic double division — with ties broken by
-    smallest k via row_number. No step depends on float addition order.
+    order on either engine; assignment floor-quantizes the centroid to
+    the same grid (c_kd = ⌊s_kd/n_k⌋, sign-safe floor via pmod so Spark
+    `div`, DuckDB `//` and Python `//` agree) and compares the exact
+    integer distance Σ_d(v_d − c_kd)², ties broken by smallest k via
+    row_number. No floats anywhere in training, and the residual is
+    bounded by the quantized value range — independent of cluster size —
+    so the squared sum cannot overflow int64 at any corpus scale (an
+    n-scaled numerator like Σ(n·v − s)² grows with n² and would overflow
+    once a cluster reaches ~10^5 members).
 
     Scale shape: the exploded (vec_id, d, val) table is the standard
     distributed-k-means layout (64× row inflation of a slim projection);
@@ -1394,17 +1405,19 @@ def _ivf_trained_train(spark, sf_dir):
     )
 
     def assign(cent_df, top: int = 1):
-        t = (F.col("n") * F.col("val") - F.col("s"))
+        centc = cent_df.select(
+            "k", "d", F.expr("(s - pmod(s, n)) div n").alias("c")
+        )
+        t = F.col("val") - F.col("c")
         num = (
-            exploded.join(F.broadcast(cent_df), "d")
-            .select("vec_id", "k", "n", (t * t).alias("t"))
-            .groupBy("vec_id", "k", "n")
+            exploded.join(F.broadcast(centc), "d")
+            .select("vec_id", "k", (t * t).alias("t"))
+            .groupBy("vec_id", "k")
             .agg(F.sum("t").alias("num"))
         )
-        dist = F.col("num").cast("double") / (
-            (F.col("n") * F.col("n")).cast("double")
+        wk = Window.partitionBy("vec_id").orderBy(
+            F.col("num").asc(), F.col("k").asc()
         )
-        wk = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("k").asc())
         return (
             num.withColumn("rn", F.row_number().over(wk))
             .where(F.col("rn") <= top)
@@ -1499,21 +1512,25 @@ def _sql_ann_ivf_trained(nprobe: int = 1) -> str:
     prev = "c0"
     for r in range(_KM_ROUNDS + 1):
         a = f"a{r}"
-        # numerator: exact integer sum over dims of (n*v_d - s_kd)^2
+        # floor-quantized centroid c = floor(s/n) (sign-safe: DuckDB //
+        # truncates, so floor via pmod like the Spark side), then the
+        # exact integer distance sum over dims of (v_d - c_kd)^2
         sq += (
-            f", {a}_num AS (SELECT b.vec_id, c.k, c.n, "
-            "SUM((c.n * b.lv[c.i+1] - c.s) * (c.n * b.lv[c.i+1] - c.s)) "
-            f"AS num FROM base b, {prev} c GROUP BY b.vec_id, c.k, c.n)"
+            f", {a}_c AS (SELECT k, i, "
+            f"(s - ((s % n + n) % n)) // n AS c FROM {prev})"
+            f", {a}_num AS (SELECT b.vec_id, c.k, "
+            "SUM((b.lv[c.i+1] - c.c) * (b.lv[c.i+1] - c.c)) "
+            f"AS num FROM base b, {a}_c c GROUP BY b.vec_id, c.k)"
             f", {a} AS (SELECT vec_id, k FROM (SELECT vec_id, k, "
             "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY "
-            "num::DOUBLE / (n*n)::DOUBLE ASC, k ASC) AS rn "
+            "num ASC, k ASC) AS rn "
             f"FROM {a}_num) WHERE rn = 1)"
         )
         if r == _KM_ROUNDS and nprobe > 1:
             sq += (
                 f", {a}p AS (SELECT vec_id, k FROM (SELECT vec_id, k, "
                 "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY "
-                "num::DOUBLE / (n*n)::DOUBLE ASC, k ASC) AS rn "
+                "num ASC, k ASC) AS rn "
                 f"FROM {a}_num) WHERE rn <= {nprobe})"
             )
         if r < _KM_ROUNDS:
@@ -1575,8 +1592,9 @@ def _sql_ann_index_cells() -> str:
     from .corpus import EMB_DIM, N_HYPER, _HEXD, hyperplane_weights
 
     def dim_expr(i):
+        # coalesce mirrors ann_enrich: NULL text is the empty document
         base = (
-            "list_filter(string_split(text, ' '), "
+            "list_filter(string_split(coalesce(text, ''), ' '), "
             f"w -> substr(md5(w), 1, 1) = '{_HEXD[i]}'"
         )
         return (

@@ -225,13 +225,16 @@ class FrontierScheduler:
             self.spark, "discoveries", cycle - 1, schemas.DISCOVERIES
         )
 
-    def _latest_host_rank(self, cycle: int) -> DataFrame | None:
+    def _latest_host_rank(self, cycle: int) -> tuple[int, DataFrame] | None:
         """Newest committed host_rank table at a cycle <= cycle-1 (manifest
-        walk only — no data reads until the caller joins it)."""
+        walk only — no data reads until the caller joins it). Returns
+        (build_cycle, df) so consumers can cache per-build work — the
+        broadcast-gate count in particular runs once per rank BUILD, not
+        once per scheduling cycle."""
         for c in range(cycle - 1, 0, -1):
             m = self.io.manifest(c)
             if m and "host_rank" in m.get("tables", {}):
-                return self.io.read_cycle(
+                return c, self.io.read_cycle(
                     self.spark, "host_rank", c, schemas.HOST_RANK
                 )
         return None
@@ -348,11 +351,21 @@ class FrontierScheduler:
             # seed priority > 100 must survive in both).
             from .graph import PR_SCALE, hint_small_dim
 
-            rank_df = self._latest_host_rank(cycle)
-            if rank_df is not None:
-                rdim = hint_small_dim(
-                    rank_df.select(F.col("host").alias("_rh"), "rnk")
-                )
+            latest = self._latest_host_rank(cycle)
+            if latest is not None:
+                build_c, rank_df = latest
+                # the limit+count broadcast gate is a Spark job; cache the
+                # hinted dim keyed on the BUILD cycle so cycles between
+                # rank builds reuse it instead of re-counting the same
+                # committed parquet every cycle
+                cached = getattr(self, "_rank_dim_cache", None)
+                if cached is not None and cached[0] == build_c:
+                    rdim = cached[1]
+                else:
+                    rdim = hint_small_dim(
+                        rank_df.select(F.col("host").alias("_rh"), "rnk")
+                    )
+                    self._rank_dim_cache = (build_c, rdim)
                 cand = cand.join(
                     rdim, cand.host == rdim._rh, "left"
                 )
@@ -370,7 +383,7 @@ class FrontierScheduler:
                 .otherwise(F.col("priority"))
                 .cast("int"),
             )
-            if rank_df is not None:
+            if latest is not None:
                 cand = cand.drop("_rh", "rnk")
         cand.persist()
         tick("ingest: candidates", cand)
