@@ -25,10 +25,27 @@ def build_engine(
 ) -> FrontierScheduler:
     io = TableIO(workdir)
     pages_canon = os.path.join(workdir, "pages_canon")
-    if not os.path.exists(pages_canon):
+    marker = os.path.join(workdir, "pages_canon.nbuckets")
+    if os.path.exists(pages_canon):
+        # the bucketed table's physical layout bakes in n_buckets; reusing
+        # it under a different cfg would register wrong CLUSTERED BY
+        # metadata and silently misroute the bucketed fetch join
+        prev = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prev = int(f.read().strip())
+        if prev != cfg.n_buckets:
+            raise ValueError(
+                f"workdir {workdir!r} has pages_canon prepared with "
+                f"n_buckets={prev}, but cfg.n_buckets={cfg.n_buckets}; "
+                "use a fresh workdir (or matching cfg)"
+            )
+    else:
         pages_canon = prepare_pages(
             spark, os.path.join(fixture_dir, "pages.parquet"), io, cfg
         )
+        with open(marker, "w") as f:
+            f.write(str(cfg.n_buckets))
     robots = spark.read.parquet(os.path.join(fixture_dir, "robots.parquet"))
     seeds = spark.read.parquet(os.path.join(fixture_dir, "seeds.parquet"))
     return FrontierScheduler(spark, io, cfg, pages_canon, robots, seeds)

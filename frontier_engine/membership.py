@@ -51,6 +51,7 @@ _SLOTS = 4
 _MAX_KICKS = 500
 _CUCKOO_MAX_ITEMS = 4_000_000  # above this a fresh build uses bloom
 _CACHE_CAP = 128
+_CACHE_MAX_BYTES = 1 << 30  # 1 GiB of deserialized filters per worker
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -168,6 +169,10 @@ class CuckooFilter:
         hit2 = (t[i2s] == fps[:, None]).any(axis=1)
         return hit1 | hit2
 
+    @property
+    def nbytes(self) -> int:
+        return int(self.table.nbytes)
+
     def to_row(self) -> dict:
         return {"kind": "cuckoo", "n_bits": None, "data": self.table.tobytes()}
 
@@ -219,6 +224,10 @@ class BloomFilter:
         bit = g & np.uint64(63)
         hits = ((self.words[idx] >> bit) & np.uint64(1)).astype(bool)
         return hits.all(axis=0)
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.words.nbytes)
 
     def to_row(self) -> dict:
         return {
@@ -328,11 +337,15 @@ def filter_locations(io, through_cycle: int):
 
 
 # per-Python-worker LRU for the read-only prefilter path; keyed by
-# (root, cycle, bucket) so entries are immutable. Bounded at _CACHE_CAP
-# deserialized filters with true LRU eviction — a long-lived worker serving
-# many cycles never accumulates stale cycle-keyed entries (and never loses
-# its hot set to a blanket clear).
+# (root, cycle, bucket) so entries are immutable. Bounded by BOTH an entry
+# cap and a BYTE budget with true LRU eviction: at the north-star scale a
+# single bucket's bloom is ~200 MB serialized, so an entry-count-only cap
+# of 128 would let one worker hold tens of GB of deserialized filters —
+# the byte budget is what actually bounds worker memory. A long-lived
+# worker serving many cycles never accumulates stale cycle-keyed entries
+# (and never loses its hot set to a blanket clear).
 _FILTER_CACHE: OrderedDict = OrderedDict()
+_FILTER_CACHE_BYTES = [0]
 
 
 def _cached_filter(root: str, cycle: int, bucket: int):
@@ -342,8 +355,13 @@ def _cached_filter(root: str, cycle: int, bucket: int):
         return _FILTER_CACHE[key]
     f = load_bucket_filter(root, cycle, bucket)
     _FILTER_CACHE[key] = f
-    while len(_FILTER_CACHE) > _CACHE_CAP:
-        _FILTER_CACHE.popitem(last=False)
+    _FILTER_CACHE_BYTES[0] += 0 if f is None else f.nbytes
+    while len(_FILTER_CACHE) > 1 and (
+        len(_FILTER_CACHE) > _CACHE_CAP
+        or _FILTER_CACHE_BYTES[0] > _CACHE_MAX_BYTES
+    ):
+        _k, old = _FILTER_CACHE.popitem(last=False)
+        _FILTER_CACHE_BYTES[0] -= 0 if old is None else old.nbytes
     return f
 
 
@@ -352,10 +370,14 @@ def _cached_filter(root: str, cycle: int, bucket: int):
 # ---------------------------------------------------------------------------
 
 def split_by_filter(cand: "DataFrame", io, through_cycle: int, cfg):
-    """Split candidates into (definite_new, maybe_seen) using the newest
-    filter rows ≤ through_cycle. Exactness-preserving: if filters lag the
-    url_seen deltas, definite_new is patched with an exact anti-join over the
-    missing delta range."""
+    """Split candidates into (definite_new, maybe_seen, tested) using the
+    newest filter rows ≤ through_cycle; ``tested`` is the PERSISTED probe
+    frame both splits derive from (None when no filters exist) — the
+    caller unpersists it once the cycle's outputs are materialized.
+    Exactness-preserving: if filters lag the url_seen deltas, definite_new
+    is patched with an exact anti-join over the missing delta range
+    (TTL-windowed in recrawl mode, matching the scheduler's seen frame)."""
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from . import schemas
@@ -363,7 +385,7 @@ def split_by_filter(cand: "DataFrame", io, through_cycle: int, cfg):
     last_build, loc = filter_locations(io, through_cycle)
     if last_build == 0:
         # no filters yet: everything is maybe-seen (plain exact anti-join)
-        return cand.limit(0), cand
+        return cand.limit(0), cand, None
 
     root = io.root
     out_schema = T.StructType(
@@ -394,18 +416,33 @@ def split_by_filter(cand: "DataFrame", io, through_cycle: int, cfg):
             pdf["maybe_seen"] = out
             yield pdf
 
-    tested = cand.mapInPandas(check_batches, out_schema)
+    # persist: the (definite_new, maybe_seen) split feeds two union
+    # branches of one downstream plan, and union branches do NOT share
+    # unpersisted subtrees — without this the filter loads + contains_many
+    # pass (and the dedup agg beneath it) would execute twice per cycle
+    # (the same union-branch-recompute pathology the band pipeline hit).
+    # The caller unpersists it at end of cycle.
+    tested = cand.mapInPandas(check_batches, out_schema).persist()
     definite_new = tested.where("NOT maybe_seen").drop("maybe_seen")
     maybe_seen = tested.where("maybe_seen").drop("maybe_seen")
 
     if last_build < through_cycle:
-        # filters are stale: exact-confirm definite_new vs the missing range
+        # filters are stale: exact-confirm definite_new vs the missing
+        # range. In recrawl-TTL mode the gap must apply the SAME
+        # first_seen_cycle window the scheduler's exact `seen` frame uses
+        # — an un-windowed gap would let a TTL-EXPIRED row suppress a
+        # recrawl-due URL that the exact path (and the refspec) re-admits.
         gap = io.read_delta_range(
             cand.sparkSession, "url_seen", last_build + 1, through_cycle,
             schemas.URL_SEEN,
         )
+        ttl = getattr(cfg, "recrawl_after_cycles", None)
+        if ttl is not None:
+            # scheduler window at cycle = through_cycle + 1
+            ttl_lo = max(1, through_cycle + 2 - ttl)
+            gap = gap.where(F.col("first_seen_cycle") >= ttl_lo)
         definite_new = definite_new.join(gap, "url_hash", "left_anti")
-    return definite_new, maybe_seen
+    return definite_new, maybe_seen, tested
 
 
 _FILTER_ROW_SCHEMA_DDL = (
@@ -446,9 +483,16 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
     # several cycles; building from read_cycle(cycle) alone would leave the
     # intervening deltas permanently missing from all later filters and
     # misclassify seen URLs as definitely-new (duplicate url_seen rows).
-    delta = io.read_delta_range(
-        spark, "url_seen", prev_found + 1, cycle, schemas.URL_SEEN
-    )
+    # A from-scratch build (fresh store, or post-poison self-heal) reads
+    # the CONSOLIDATED view instead: base + O(compact_every) tail dirs —
+    # the same row set as unioning every delta dir since cycle 1, without
+    # the O(cycles) dir-union pathology compaction exists to prevent.
+    if prev_found == 0:
+        delta = io.read_appended(spark, "url_seen", cycle, schemas.URL_SEEN)
+    else:
+        delta = io.read_delta_range(
+            spark, "url_seen", prev_found + 1, cycle, schemas.URL_SEEN
+        )
 
     # Both build stages run as mapInPandas ITERATORS over data repartitioned
     # by host_bucket: a task streams its buckets' rows batch by batch and
@@ -499,7 +543,20 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
                             f = BloomFilter.with_capacity(n)
                     st = state[b] = [f, True]
                 if st[1]:
-                    st[1] = st[0].insert_many(h_all[idx])
+                    # skip hashes the filter already reports present: in
+                    # recrawl-TTL mode the same url_hash writes a fresh
+                    # url_seen delta row per recrawl, and duplicate cuckoo
+                    # inserts consume fresh slots — after ~2*_SLOTS
+                    # recrawls of a hot URL the bucket would overflow into
+                    # a full-history bloom rebuild. Skipping is sound with
+                    # no deletion support: a "present" answer never needs
+                    # reinforcing (bloom re-insert is a bit-identical
+                    # no-op; a colliding cuckoo fingerprint already
+                    # answers maybe-seen forever).
+                    h = h_all[idx]
+                    fresh = ~st[0].contains_many(h)
+                    if fresh.any():
+                        st[1] = st[0].insert_many(h[fresh])
         rows = []
         for b, (f, ok) in state.items():
             r = f.to_row() if ok else {"kind": None, "n_bits": None, "data": None}
@@ -531,21 +588,30 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
 
     import pyarrow.parquet as _pq
 
-    written: set = set()
-    overflow: list = []
-    for f in sorted(
-        _glob.glob(os.path.join(root, rel, "host_bucket=*", "*.parquet"))
-    ):
-        b = int(f.split("host_bucket=")[1].split(os.sep)[0])
-        t = _pq.read_table(f, columns=["status"])
-        for i in range(t.num_rows):
-            written.add(b)
-            if str(t["status"][i]) == "overflow":
-                overflow.append(b)
+    def stage_statuses(stage_rel: str) -> dict:
+        """{bucket: [status, ...]} actually ON DISK for a stage dir —
+        driver-side pyarrow over the status column only, never a Spark
+        job. What got written is always derived from this read-back,
+        never assumed from what was submitted."""
+        out: dict = {}
+        for f in sorted(
+            _glob.glob(
+                os.path.join(root, stage_rel, "host_bucket=*", "*.parquet")
+            )
+        ):
+            b = int(f.split("host_bucket=")[1].split(os.sep)[0])
+            t = _pq.read_table(f, columns=["status"])
+            for i in range(t.num_rows):
+                out.setdefault(b, []).append(str(t["status"][i]))
+        return out
 
-    if overflow:
+    def full_rebuild(buckets: list, stage: str) -> set:
+        """Rebuild the given buckets' filters from their FULL url_seen
+        (bloom) into ``stage``; returns the buckets that actually got a
+        row (a bucket with no url_seen rows writes none — correctly
+        uncovered)."""
         full = io.read_appended(spark, "url_seen", cycle, schemas.URL_SEEN)
-        full = full.where(full.host_bucket.isin(overflow))
+        full = full.where(full.host_bucket.isin(buckets))
         full_cap = {
             int(r["host_bucket"]): int(r["n"])
             for r in full.groupBy("host_bucket")
@@ -583,9 +649,19 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
             .repartition(cfg.n_buckets, "host_bucket")
             .mapInPandas(rebuild_batches, out_schema)
         )
-        io._write_df(
-            bloom_df, f"filters/cycle={cycle}/stage=bloom", ["host_bucket"]
-        )
+        stage_rel = f"filters/cycle={cycle}/stage={stage}"
+        io._write_df(bloom_df, stage_rel, ["host_bucket"])
+        return set(stage_statuses(stage_rel))
+
+    written: set = set()
+    overflow: list = []
+    for b, sts in stage_statuses(rel).items():
+        written.add(b)
+        if "overflow" in sts:
+            overflow.append(b)
+
+    if overflow:
+        full_rebuild(sorted(overflow), "bloom")
 
     if consolidate:
         carry = sorted(
@@ -611,12 +687,25 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
                         rows.append(r)
                 yield _pd.DataFrame(rows, columns=_ROW_COLS)
 
+            carry_rel = f"filters/cycle={cycle}/stage=carry"
             io._write_df(
                 carry_df.mapInPandas(copy_batches, out_schema),
-                f"filters/cycle={cycle}/stage=carry",
+                carry_rel,
                 ["host_bucket"],
             )
-            written |= {b for b, _ in carry}
+            # record only what the copy ACTUALLY wrote — copy_batches
+            # skips a bucket whose source row is unreadable (e.g. a prior
+            # consolidation crashed mid-prune), and blindly adding it to
+            # `written` would publish a filters_full manifest claiming a
+            # row that the dir-prune below then deletes the only copy of,
+            # leaving the bucket filterless-but-covered forever. Any
+            # skipped bucket is instead rebuilt from its full url_seen
+            # before the prune.
+            carry_ok = set(stage_statuses(carry_rel))
+            missing = sorted({b for b, _ in carry} - carry_ok)
+            if missing:
+                carry_ok |= full_rebuild(missing, "carryfix")
+            written |= carry_ok
         # older dirs now redundant: every live bucket has a row at `cycle`
         import shutil as _shutil
 

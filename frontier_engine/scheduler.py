@@ -400,13 +400,14 @@ class FrontierScheduler:
 
         # seen dedup: cuckoo prefilter (definite-negatives bypass the exact
         # anti-join; possibles are confirmed exactly — membership.py)
+        tested_frame = None
         if fresh_start:
             # provably empty seen-set: every grouped candidate is new
             new_keys = cand_g
         elif cfg.use_seen_filter:
             from .membership import split_by_filter
 
-            definite_new, maybe_seen = split_by_filter(
+            definite_new, maybe_seen, tested_frame = split_by_filter(
                 cand_g, io, cycle - 1, cfg
             )
             confirmed_new = maybe_seen.join(seen, "url_hash", "left_anti")
@@ -1043,7 +1044,8 @@ class FrontierScheduler:
         tick("read lineage")
 
         for df in (cand, ingested, pending_all, ranked, fetched,
-                   nd_bands_full, stage_frame, *nd_closure_frames):
+                   nd_bands_full, stage_frame, tested_frame,
+                   *nd_closure_frames):
             if df is not None:
                 df.unpersist()
 

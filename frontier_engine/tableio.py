@@ -127,6 +127,12 @@ class TableIO:
         tmp = self._manifest_path(cycle) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f, indent=1)
+            # fsync BEFORE the rename: on delayed-allocation filesystems a
+            # power loss after the (journaled) rename but before the data
+            # blocks land leaves a zero-length manifest — which would brick
+            # resume, violating "a cycle exists completely or not at all"
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(tmp, self._manifest_path(cycle))
         return entry
 
@@ -138,6 +144,12 @@ class TableIO:
         tmp = self._manifest_path(cycle) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f, indent=1)
+            # fsync BEFORE the rename: on delayed-allocation filesystems a
+            # power loss after the (journaled) rename but before the data
+            # blocks land leaves a zero-length manifest — which would brick
+            # resume, violating "a cycle exists completely or not at all"
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(tmp, self._manifest_path(cycle))
         return entry
 

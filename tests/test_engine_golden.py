@@ -984,3 +984,51 @@ def test_ann_index_trained_ivf_golden(
     assert [
         (r["cos_sim"], r["url_hash"]) for r in got.collect()
     ] == [(c, u) for c, u in want[:3]]
+
+
+def test_recrawl_ttl_with_stale_filter_gap(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """Regression (round-5 self-review): split_by_filter's stale-filter
+    gap anti-join must apply the SAME recrawl-TTL window the scheduler's
+    exact seen frame uses. With ttl=1 and a resume (whose final cycle
+    skipped the filter build, so filters lag by one), a URL first seen in
+    the gap cycle is TTL-EXPIRED at the next cycle — the exact path
+    re-admits it, and an UN-windowed gap join would silently suppress it.
+    run(3)+resume run(3) must equal an uninterrupted run(6) exactly."""
+    import dataclasses
+
+    from frontier_engine import schemas as _s
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix), recrawl_after_cycles=1
+    )
+    assert cfg.use_seen_filter  # the path under test
+
+    work_a = str(tmp_path_factory.mktemp("engine-ttlgap-straight"))
+    eng_a = build_engine(spark, tiny_fixture_dir, work_a, cfg)
+    eng_a.run(cycles=6)
+    st_a = spark_trace(spark, eng_a.io, range(1, 7))
+
+    work_b = str(tmp_path_factory.mktemp("engine-ttlgap-resumed"))
+    eng_b = build_engine(spark, tiny_fixture_dir, work_b, cfg)
+    eng_b.run(cycles=3)  # final cycle commits with build_filters=False
+    eng_b2 = build_engine(spark, tiny_fixture_dir, work_b, cfg)
+    eng_b2.run(cycles=3)  # cycle 4 sees filters lagging at cycle 2
+    st_b = spark_trace(spark, eng_b2.io, range(1, 7))
+
+    assert diff_traces(st_a, st_b) == [], "\n".join(diff_traces(st_a, st_b))
+
+    # non-vacuity: cycle 4 must actually re-admit a URL first seen in the
+    # gap cycle (3) — the exact row the un-windowed gap join suppressed
+    seen = eng_b2.io.read_appended(spark, "url_seen", 6, _s.URL_SEEN)
+    gap_hashes = {
+        r["url_hash"]
+        for r in seen.where("first_seen_cycle = 3").collect()
+    }
+    recrawled = {
+        r["url_hash"]
+        for r in seen.where("first_seen_cycle = 4").collect()
+    } & gap_hashes
+    assert recrawled, "fixture produced no gap-cycle recrawl; test vacuous"

@@ -73,11 +73,13 @@ def test_prefilter_adds_no_exchange(spark, tiny_fixture_dir,
         )
     )
     base_exchanges = _plan(cand).count("Exchange hashpartitioning")
-    definite_new, maybe_seen = split_by_filter(cand, eng.io, 1, cfg)
+    definite_new, maybe_seen, tested = split_by_filter(cand, eng.io, 1, cfg)
     for df in (definite_new, maybe_seen):
         plan = _plan(df)
         assert "MapInPandas" in plan, plan
         assert plan.count("Exchange hashpartitioning") == base_exchanges, plan
+    if tested is not None:
+        tested.unpersist()
 
 
 def test_ann_stage_stays_jvm_side(spark):
