@@ -8,6 +8,9 @@ web-scale generalization of that identity.
 Canonical form (the engine-wide spec; refspec.py and the Spark pipeline MUST
 agree byte-for-byte — pinned by tests):
 
+0. fetchability gate: scheme must be http/https, host non-empty, port
+   parseable — anything else raises ValueError and is dropped at ingest
+   (relative hrefs, mailto:/javascript:, bad ports)
 1. scheme lowercased
 2. host lowercased (IPv6 hosts re-bracketed); userinfo preserved verbatim
 3. default ports dropped (http:80, https:443); other ports kept
@@ -90,11 +93,26 @@ def _remove_dot_segments(path: str) -> str:
 
 
 def canonicalize(url: str) -> str:
-    """Canonicalize one URL per the module spec. Pure, deterministic."""
+    """Canonicalize one URL per the module spec. Pure, deterministic.
+
+    Raises ValueError for non-fetchable hrefs — no scheme (relative or
+    scheme-relative spellings: the engine does no base-URL resolution),
+    non-http(s) schemes (mailto:, ftp:, javascript:, ...), an empty host,
+    or an unparseable port. Without this gate such hrefs canonicalized to
+    degenerate identities ('://page2.html', shared across every site that
+    links a same-named relative page) that passed ingest's NULL-drop
+    filter and collided in url_seen / the politeness window. Callers
+    (canon_host_frame, refspec.run ingest) already map ValueError to the
+    drop path, mirroring each other.
+    """
     parts = urlsplit(url.strip())
     scheme = parts.scheme.lower()
+    if scheme not in _DEFAULT_PORT:  # http / https only
+        raise ValueError(f"non-fetchable scheme: {scheme or '<none>'!r}")
 
     host = parts.hostname or ""
+    if not host:
+        raise ValueError("empty host")
     if ":" in host:  # IPv6 literal — urlsplit strips the brackets
         host = "[" + host + "]"
     userinfo = ""
@@ -103,10 +121,10 @@ def canonicalize(url: str) -> str:
         if parts.password is not None:
             userinfo += ":" + parts.password
         userinfo += "@"
-    try:
-        port = parts.port
-    except ValueError:
-        port = None
+    # invalid ports ('http://h:99999/x', 'http://h:8a/x') propagate
+    # urlsplit's ValueError -> dropped, instead of silently aliasing the
+    # href onto the default-port identity of the clean URL
+    port = parts.port
     netloc = userinfo + host
     if port is not None and port != _DEFAULT_PORT.get(scheme):
         netloc += f":{port}"

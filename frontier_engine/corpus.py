@@ -102,13 +102,17 @@ def band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select("_id", F.col("_bb.band").alias("band"), F.col("_bb.bkey").alias("bkey"))
 
 
-def enrich_scalars(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def enrich_scalars(df: DataFrame, text_col: str) -> DataFrame:
     """The per-row enrichment columns alone (no nd_group join): one
     projection, whole-stage codegen. Split out so the scheduler can fuse
     it with the ANN embedding into ONE persisted pass over the cycle's
     corpus (separate write jobs don't share plan subtrees — unfused, each
     consumer re-ran its own tokenize+filter work over the cached rows)."""
-    text = F.col(text_col)
+    # NULL text is the empty document — the same coalesce ann_enrich
+    # applies, so the two halves of one fused stage_frame agree: without
+    # it a NULL-text row got NULL fp/n_words/ratios yet a concrete
+    # predicted_lang ('other', the when-chain's NULL fall-through)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(text, " ")
     stops = F.filter(words, lambda w: (w == "the") | (w == "a"))
     tech = F.filter(
@@ -170,7 +174,7 @@ def enrich(
     """
     if bands is None:
         bands = band_keys(df, id_col, text_col)
-    return nd_group_join(enrich_scalars(df, id_col, text_col), bands, id_col)
+    return nd_group_join(enrich_scalars(df, text_col), bands, id_col)
 
 
 # ---------------------------------------------------------------------------

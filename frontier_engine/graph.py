@@ -46,13 +46,17 @@ from .graph_py import PR_SCALE, integer_pagerank_py  # noqa: F401
 BROADCAST_HOST_MAX = 5_000_000
 
 
+def is_small_dim(df: DataFrame, max_rows: int = BROADCAST_HOST_MAX) -> bool:
+    """True when df has <= max_rows rows. One limit+count job over a
+    host-cardinality dim — cheap next to the join it guards, and
+    deterministic (same committed inputs -> same plan on resume)."""
+    return df.limit(max_rows + 1).count() <= max_rows
+
+
 def hint_small_dim(df: DataFrame, max_rows: int = BROADCAST_HOST_MAX):
     """``F.broadcast(df)`` only when df has <= max_rows rows; otherwise the
-    frame is returned unhinted (AQE decides). The gate is one limit+count
-    job over a host-cardinality dim — cheap next to the join it guards,
-    and deterministic (same committed inputs -> same plan on resume)."""
-    n = df.limit(max_rows + 1).count()
-    return F.broadcast(df) if n <= max_rows else df
+    frame is returned unhinted (AQE decides)."""
+    return F.broadcast(df) if is_small_dim(df, max_rows) else df
 
 
 def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
@@ -79,10 +83,7 @@ def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
         .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
     )
-    small = (
-        hosts.limit(BROADCAST_HOST_MAX + 1).count() <= BROADCAST_HOST_MAX
-    )
-    bc = F.broadcast if small else (lambda df: df)
+    bc = F.broadcast if is_small_dim(hosts) else (lambda df: df)
     ranks = hosts.select("host", F.lit(PR_SCALE).cast("long").alias("rnk"))
     for _ in range(iters):
         contrib = (

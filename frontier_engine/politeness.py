@@ -34,8 +34,9 @@ def apply_robots(
 ) -> DataFrame:
     """Adds boolean ``blocked``.
 
-    Default mode: any disallow prefix matches the path (the reference's
-    SkipContainer shape). ``rfc=True`` runs the RFC 9309 decision over
+    Default mode: any NON-EMPTY disallow prefix matches the path (the
+    reference's SkipContainer shape; an empty rule — a bare "Disallow:"
+    line, RFC 9309 allow-all — matches nothing in every mode). ``rfc=True`` runs the RFC 9309 decision over
     (allow, disallow) rule arrays: the MOST SPECIFIC (longest) matching
     rule wins and allow wins length ties, with full §2.2.3 wildcard
     support — ``*`` matches any character sequence and a trailing ``$``
@@ -135,8 +136,17 @@ def apply_robots(
             longest_match(F.col("_dis_rx")) > longest_match(F.col("_alw_rx"))
         )
     else:
+        # an empty-string rule (a bare "Disallow:" line, which RFC 9309
+        # defines as allow-all and robots_parse-style parses emit as "")
+        # must be a no-match: startswith("") is true for every path, so
+        # without the length guard one such rule blacked out the whole
+        # host in prefix mode while rfc mode (match length 0 -> never
+        # wins) and the refspec left it unblocked
         blocked = F.coalesce(
-            F.exists("disallow", lambda d: F.col("_path").startswith(d)),
+            F.exists(
+                "disallow",
+                lambda d: (F.length(d) > 0) & F.col("_path").startswith(d),
+            ),
             F.lit(False),
         )
     return (

@@ -2086,10 +2086,14 @@ def q_crawl_delay_schedule(spark, sf_dir):
     host = (F.col("doc_id") % 20).cast("int")
     w = Window.partitionBy(host).orderBy("doc_id")
     rk = F.row_number().over(w)
+    # pure-BIGINT micros arithmetic: timestampadd takes an INT quantity,
+    # and casting (delay_ms * (rk-1)) to INT wraps past rank ~429k/host
+    # (reachable at ~8.6M docs) while the DuckDB oracle's BIGINT*INTERVAL
+    # keeps adding forward — a silent divergence at scale
     planned = F.expr(
-        "timestampadd(MILLISECOND, CAST((doc_id % 20 + 1) * 250 * "
-        "(row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1)"
-        " AS INT), TIMESTAMP'2024-01-01 00:00:00')"
+        "timestamp_micros(unix_micros(TIMESTAMP'2024-01-01 00:00:00')"
+        " + (doc_id % 20 + 1) * 250000 * "
+        "(row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1))"
     )
     return d.select(
         "doc_id",

@@ -123,7 +123,10 @@ def load_pages_lookup(pages_rows) -> dict:
     the smallest (warc_ts, url) — mirrors the Spark pages_canon dedup."""
     lookup = {}
     for r in pages_rows:
-        c = canonicalize(r["url"])
+        try:
+            c = canonicalize(r["url"])
+        except ValueError:  # non-fetchable page URL — engine drops it too
+            continue
         key = (r["warc_ts"], r["url"])
         if c not in lookup or key < lookup[c][0]:
             lookup[c] = (key, r["html"], r["text"])
@@ -239,7 +242,10 @@ def run(
                 # anchor) via the shared pyspark-free robots_rfc module
                 is_blocked = rfc_decide(p, dis, alw)
             else:
-                is_blocked = any(p.startswith(d) for d in dis)
+                # empty rule (bare "Disallow:" = allow-all) is a no-match,
+                # matching the engine's length guard and rfc mode's
+                # 0-length-never-wins semantics
+                is_blocked = any(d and p.startswith(d) for d in dis)
             if is_blocked:
                 bump(row.host_bucket, "robots_skipped")
                 res.resolved[h] = "skipped"

@@ -80,6 +80,11 @@ def prepare_pages(
             "text",
             "lang",
         )
+        # a non-fetchable page URL canonicalizes to NULL (canon fetchability
+        # gate) — drop it here like ingest does, so no NULL-keyed row
+        # survives into the bucketed corpus (refspec's load_pages_lookup
+        # mirrors the skip)
+        .where(F.col("url_canon").isNotNull())
         .withColumn("url_hash", F.xxhash64("url_canon"))
         .withColumn("host_bucket", _bucket(F.col("host"), cfg.n_buckets))
     )
@@ -687,9 +692,7 @@ class FrontierScheduler:
 
             stage_frame = done.select("url_hash", "host_bucket", "_text")
             if cfg.enrich_pages:
-                stage_frame = enrich_scalars(
-                    stage_frame, "url_hash", "_text"
-                )
+                stage_frame = enrich_scalars(stage_frame, "_text")
             if cfg.ann_index:
                 stage_frame = ann_enrich(stage_frame, "_text")
             stage_frame = stage_frame.drop("_text")

@@ -124,7 +124,6 @@ def test_canon_host_frame_adversarial():
         "https://h.com/.well-known/x",      # dotfile path (conservative slow)
         "https://h.com/p/%41%7e?x=%2F",     # %-escapes (slow)
         "https://h.com/a b/c",              # raw space (slow)
-        "ftp://h.com/p",                    # non-http scheme (slow)
         "https://h.com//double/slash",
         "https://h.com/p?b=2&b=2",          # equal params
         "https://h.com/p?日本=語&a=1",       # unicode params
@@ -141,14 +140,28 @@ def test_canon_host_frame_adversarial():
 
 
 def test_canon_host_frame_hostile_hrefs_dropped():
-    """Malformed URLs that make urlsplit raise ValueError (bad IPv6-ish
-    netlocs) must yield (None, None) — one hostile discovered href must not
-    kill the whole pandas-UDF task. Refspec mirrors the drop."""
+    """Non-fetchable or malformed hrefs must yield (None, None) — one
+    hostile discovered href must not kill the whole pandas-UDF task, and
+    relative / scheme-relative / non-http spellings must not mint
+    degenerate shared identities ('://page2.html') that pass ingest's
+    NULL-drop filter. Refspec mirrors the drop (same ValueError path)."""
     import pandas as pd
 
     from frontier_engine.canon import canon_host_frame
 
-    hostile = ["http://[junk", "http://[::1", "https://[abc]def/p"]
+    hostile = [
+        "http://[junk", "http://[::1", "https://[abc]def/p",  # urlsplit err
+        "page2.html",                   # relative href — no base resolution
+        "/abs/path",                    # host-relative href
+        "//h.com/p",                    # scheme-relative href
+        "mailto:user@example.com",      # non-fetchable scheme w/ host-y path
+        "ftp://h.com/p",                # non-http scheme
+        "javascript:void(0)",           # pseudo-scheme
+        "http:///no-host",              # empty host
+        "http://h.com:99999/x",         # out-of-range port
+        "http://h.com:8a/x",            # non-numeric port
+        "",                             # empty href
+    ]
     good = "https://ok.com/p"
     got = canon_host_frame(pd.Series(hostile + [good], dtype=object))
     for i in range(len(hostile)):

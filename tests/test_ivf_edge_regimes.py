@@ -103,3 +103,26 @@ def test_ann_enrich_null_text_kept(spark):
     assert want_emb == embed_py("")
     assert got[2] == (want_emb, cell_py(want_emb))
     assert got[1] == (embed_py("hello world"), cell_py(embed_py("hello world")))
+
+
+def test_enrich_scalars_null_text_consistent(spark):
+    """enrich_scalars must apply the same NULL->'' coalesce as ann_enrich:
+    the two feed ONE fused stage_frame, and without it a NULL-text row got
+    NULL fp/n_words/ratios yet a concrete predicted_lang ('other' via the
+    when-chain's NULL fall-through) — an internally inconsistent
+    page_stats row. NULL text == empty document, in every column."""
+    from frontier_engine.corpus import enrich_scalars
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "url_hash long, _text string"
+    )
+    rows = {
+        r["url_hash"]: r.asDict()
+        for r in enrich_scalars(df, "_text").collect()
+    }
+    empty, nul = rows[1], rows[2]
+    for k in ("fp", "n_words", "avg_token_len", "stop_ratio",
+              "est_bpe_tokens", "predicted_lang"):
+        assert nul[k] == empty[k], (k, nul[k], empty[k])
+    assert nul["n_words"] == 1  # split('') -> [''], the empty-doc shape
+    assert nul["fp"] is not None

@@ -141,3 +141,42 @@ def test_apply_robots_spark_python_fuzz_parity(spark, seed):
         assert out[(host, path)] == want, (host, path, dis, alw, want)
         n_blocked += want
     assert 0 < n_blocked < len(pending_rows)  # non-vacuous both ways
+
+
+def test_prefix_mode_empty_rule_is_no_match(spark):
+    """A bare "Disallow:" line parses to the empty-string rule, which RFC
+    9309 defines as allow-all. startswith("") is true for every path, so
+    without the engine's length guard one empty rule blacked out the whole
+    host in prefix mode while rfc mode (match length 0 never wins) and the
+    refspec left it unblocked. Pin all three semantics: empty rule = no
+    match; real rules on the same host still block."""
+    from frontier_engine.politeness import apply_robots
+
+    robots = spark.createDataFrame(
+        [
+            ("allowall.example", [""], []),
+            ("mixed.example", ["", "/private/"], []),
+        ],
+        "host string, disallow array<string>, allow array<string>",
+    )
+    pending = spark.createDataFrame(
+        [
+            ("allowall.example", "http://allowall.example/any/p", "/any/p"),
+            ("mixed.example", "http://mixed.example/ok", "/ok"),
+            ("mixed.example", "http://mixed.example/private/x", "/private/x"),
+        ],
+        "host string, url_canon string, path string",
+    )
+    for rfc in (False, True):
+        out = {
+            (r["host"], r["path"]): r["blocked"]
+            for r in apply_robots(pending, robots, rfc=rfc)
+            .select("host", "path", "blocked")
+            .collect()
+        }
+        assert out[("allowall.example", "/any/p")] is False, rfc
+        assert out[("mixed.example", "/ok")] is False, rfc
+        assert out[("mixed.example", "/private/x")] is True, rfc
+    # the pure-Python dialects agree
+    assert decide("/any/p", [""], []) is False
+    assert any(d and "/any/p".startswith(d) for d in [""]) is False
