@@ -342,11 +342,14 @@ def main() -> None:
     # best-of-2, plus up to 2 adaptive extras if both runs landed in a
     # steal window (quiet-window best is ~10.9k URLs/s at sf0.1 on this
     # box, BENCH/BASELINE.md; a best-of-2 below the floor means steal,
-    # not code). The floor scales with the input since n_headline is
-    # sf-derived; extras and all wall-clocks are disclosed.
+    # not code). The 10k floor is calibrated at sf0.1 ONLY (repo
+    # methodology: floors are guarded to the SF they were calibrated at
+    # — at sf1.0 a legitimately slower per-URL rate would burn adaptive
+    # extras forever chasing a 10x-smaller-input number); extras and all
+    # wall-clocks are disclosed.
     fix, pc = ensure_corpus(n_headline)
     head = best_of(f"local[{cpus}]", fix, pc, cycles=3, repeats=2)
-    if sf >= 0.1:
+    if abs(sf - 0.1) < 1e-9:
         head = adaptive_best(
             head,
             lambda: benchrun_subprocess(f"local[{cpus}]", fix, pc, 3),

@@ -25,6 +25,11 @@ import time
 def seeds_df(spark, fixture_dir: str):
     from pyspark.sql import functions as F
 
+    # NOTE: Spark's % keeps the dividend's sign, so the signed xxhash64
+    # makes this 1..19 (not 10..19) — a wider deterministic priority
+    # spread, kept as-is because every BENCH artifact since r01 carries
+    # this distribution (a pmod respelling would shift the trace counters
+    # and break cross-round comparability)
     return spark.read.parquet(os.path.join(fixture_dir, "pages.parquet")).select(
         "url",
         (F.xxhash64("url") % 10 + 10).cast("int").alias("priority"),

@@ -507,12 +507,22 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
     # bucket's row turns out unreadable anyway, the fallback capacity is
     # the first batch's size — an undersized cuckoo then overflows into
     # the bloom rebuild below, so correctness never depends on cap.
-    if len(prev_loc) >= cfg.n_buckets:
+    missing = [b for b in range(cfg.n_buckets) if b not in prev_loc]
+    if not missing:
         cap = {}
     else:
+        # restrict the scan to the buckets that actually lack a filter:
+        # the deltas are hive-partitioned by host_bucket, so the isin
+        # predicate partition-prunes — a store whose hosts occupy only
+        # 60/64 buckets (prev_loc can never reach n_buckets) reads the 4
+        # empty dirs at ~zero cost instead of paying the full-delta
+        # aggregation every cycle forever
         cap = {
             int(r["host_bucket"]): int(r["n"])
-            for r in delta.groupBy("host_bucket")
+            for r in delta.where(
+                F.col("host_bucket").isin(missing)
+            )
+            .groupBy("host_bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }

@@ -40,17 +40,6 @@ from .fixtures import T0
 from .politeness import apply_robots, budgets_df, rank_by_budget
 from .tableio import TableIO
 
-LINEAGE_METRICS = [
-    "rows_scanned",
-    "enqueued",
-    "cand_total",
-    "errors",
-    "robots_skipped",
-    "discovered",
-    "fetched_ok",
-]
-
-
 def _bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
@@ -203,12 +192,9 @@ class FrontierScheduler:
         # the host ceiling (one count job, paid once per scheduler — at
         # ~10^8 north-star hosts the rule-array dim is far past broadcast
         # size and AQE must choose the join strategy instead)
-        from .graph import BROADCAST_HOST_MAX
+        from .graph import is_small_dim
 
-        self._robots_small = (
-            robots.limit(BROADCAST_HOST_MAX + 1).count()
-            <= BROADCAST_HOST_MAX
-        )
+        self._robots_small = is_small_dim(robots)
 
     # -- inputs per cycle ---------------------------------------------------
 
@@ -514,10 +500,18 @@ class FrontierScheduler:
             scheduled.join(pages, "url_hash", "left")
             .withColumn("_h", handle_page_udf()(F.col("html")))
             .withColumn(
+                # eqNullSafe on the extraction check: a NULL stored text
+                # (PAGES_CANON allows it) made `ok` SQL-NULL, and a
+                # NULL-ok row fell through BOTH where("ok") and
+                # where("NOT ok") — the URL vanished from done AND miss
+                # (no retry, no resolved row, already marked seen). A
+                # NULL text now degrades to a fetch miss like any other
+                # extraction mismatch (refspec asserts the invariant
+                # instead — it never sees a NULL text without crashing)
                 "ok",
                 F.col("html").isNotNull()
                 & (F.col("page_canon") == F.col("url_canon"))
-                & (F.col("_h.extracted") == F.col("text")),
+                & F.col("_h.extracted").eqNullSafe(F.col("text")),
             )
             .withColumn("links", F.col("_h.links"))
         )
@@ -979,7 +973,15 @@ class FrontierScheduler:
             full_seen = io.read_appended(
                 spark, "url_seen", cycle - 1, schemas.URL_SEEN
             ).unionByName(url_seen_delta)
-            tables["url_seen_base"] = (full_seen, ["host_bucket"])
+            # same tiny-file rule as every partitioned write above: the
+            # delta side arrives hash-partitioned by url_hash (dedup agg),
+            # so without the repartition the base write emits up to
+            # tasks x n_buckets files — and this base is re-read by every
+            # later cycle's seen scan
+            tables["url_seen_base"] = (
+                full_seen.repartition(cfg.n_buckets, "host_bucket"),
+                ["host_bucket"],
+            )
             # R16 analog (status pruning): consolidate resolved history the
             # same way, so the append-table read path never unions an
             # unbounded number of per-cycle delta dirs at 10^10-URL scale

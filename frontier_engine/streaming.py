@@ -50,12 +50,49 @@ def run_streaming_cycles(
         import time
 
         t0 = time.time()
-        while not done.is_set() and time.time() - t0 < timeout_sec:
+        # also break when the query itself dies (a run_cycle exception
+        # inside foreachBatch terminates it immediately) — otherwise this
+        # loop sleeps out the full timeout before awaitTermination
+        # resurfaces the real error
+        while (
+            not done.is_set()
+            and q.isActive
+            and time.time() - t0 < timeout_sec
+        ):
             time.sleep(0.25)
     finally:
         q.stop()
         q.awaitTermination(30)
     return results
+
+
+def fold_sessions(ts, state, gap_us):
+    """Pure per-host session fold: ``ts`` (sorted epoch-micros of one
+    micro-batch), carried ``state`` (start, last, n) or None -> (closed
+    sessions [(start, last, n), ...], new state). Module-level so the
+    late-event semantics are unit-testable outside a streaming query.
+
+    ts is sorted within a batch, but a LATE event in a later micro-batch
+    can land before the carried state's bounds; clamp instead of
+    assigning, or the open session's end regresses (falsely splitting it
+    at the next event) and its start drifts forward."""
+    start, last, n = state if state is not None else (None, 0, 0)
+    closed = []
+    for t in ts:
+        if start is None:
+            start = last = t
+            n = 1
+        elif t - last > gap_us:
+            closed.append((start, last, n))
+            start = last = t
+            n = 1
+        else:
+            if t > last:
+                last = t
+            elif t < start:
+                start = t
+            n += 1
+    return closed, (None if start is None else (start, last, n))
 
 
 def sessionize_hosts(stream_df, gap_seconds: int = 3600):
@@ -94,25 +131,11 @@ def sessionize_hosts(stream_df, gap_seconds: int = 3600):
                 .tolist()
             )
         ts.sort()
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start = None
-            last = n = 0
-        closed = []
-        for t in ts:
-            if start is None:
-                start = last = t
-                n = 1
-            elif t - last > gap_us:
-                closed.append((start, last, n))
-                start = last = t
-                n = 1
-            else:
-                last = t
-                n += 1
-        if start is not None:
-            state.update((start, last, n))
+        closed, new_state = fold_sessions(
+            ts, state.get if state.exists else None, gap_us
+        )
+        if new_state is not None:
+            state.update(new_state)
         yield pd.DataFrame(
             {
                 "host": [host] * len(closed),

@@ -79,7 +79,6 @@ class TableIO:
         self,
         cycle: int,
         tables: dict,
-        url_seen_base: bool = False,
         meta: dict | None = None,
         warm: tuple = (),
     ) -> dict:
@@ -119,8 +118,6 @@ class TableIO:
             with ThreadPoolExecutor(max_workers=len(rest)) as ex:
                 for name, rel in ex.map(write_one, rest.items()):
                     entry["tables"][name] = rel
-        if url_seen_base:
-            entry["url_seen_base"] = True
         entry["committed_ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         if meta:
             entry["meta"] = meta

@@ -1032,3 +1032,56 @@ def test_recrawl_ttl_with_stale_filter_gap(
         for r in seen.where("first_seen_cycle = 4").collect()
     } & gap_hashes
     assert recrawled, "fixture produced no gap-cycle recrawl; test vacuous"
+
+
+def test_null_text_page_degrades_to_miss_not_lost(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """A NULL stored text (PAGES_CANON allows it) used to make the fetch
+    `ok` flag SQL-NULL, and a NULL-ok row fell through BOTH where("ok")
+    and where("NOT ok") — the URL vanished from done AND miss: no retry,
+    no resolved row, already marked seen. With every page's text NULLed,
+    every scheduled URL must now take the miss path (retried or errored),
+    and none may resolve as done."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from frontier_engine import schemas
+
+    fixdir = str(tmp_path_factory.mktemp("nulltext-fixture"))
+    for f in ("robots.parquet", "seeds.parquet"):
+        shutil.copy(os.path.join(tiny_fixture_dir, f), os.path.join(fixdir, f))
+    t = pq.read_table(os.path.join(tiny_fixture_dir, "pages.parquet"))
+    cols = {name: t[name] for name in t.column_names}
+    cols["text"] = pa.nulls(len(t), pa.string())
+    pq.write_table(pa.table(cols), os.path.join(fixdir, "pages.parquet"))
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = config_for_fixture(fix)
+    work = str(tmp_path_factory.mktemp("engine-nulltext"))
+    eng = build_engine(spark, fixdir, work, cfg)
+    eng.run(cycles=1)
+
+    sched = {
+        r["url_hash"]
+        for r in eng.io.read_cycle(
+            spark, "scheduled", 1, schemas.SCHEDULED
+        ).collect()
+    }
+    assert sched, "cycle 1 must schedule something"
+    retried = {
+        r["url_hash"]
+        for r in eng.io.read_cycle(spark, "pending", 1, schemas.PENDING)
+        .where("retries = 1")
+        .collect()
+    }
+    resolved = eng.io.read_cycle(
+        spark, "resolved", 1, schemas.RESOLVED
+    ).collect()
+    errored = {r["url_hash"] for r in resolved if r["state"] == "error"}
+    assert not [r for r in resolved if r["state"] == "done"]
+    lost = sched - retried - errored
+    assert not lost, f"{len(lost)} scheduled URLs vanished (NULL-ok leak)"

@@ -123,3 +123,41 @@ def test_stateful_host_sessions(spark, tmp_path_factory):
         # trailing session stays open (in state), not emitted
     assert got == sorted(want), (got, sorted(want))
     assert len(got) >= 3  # a, b and c each closed at least one session
+
+
+def test_fold_sessions_late_event_clamps_state():
+    """A late event arriving in a later micro-batch (before the carried
+    state's bounds) must not move the open session's `last` BACKWARD —
+    that falsely split the session at the next on-time event and emitted a
+    regressed session_end. Late events clamp into the open session's
+    bounds instead."""
+    from frontier_engine.streaming import fold_sessions
+
+    gap = 3600 * 1_000_000  # 1h in micros
+    H = 3600 * 1_000_000
+
+    # batch 1: 09:00 and 10:00 -> one open session (9h, 10h, 2)
+    closed, st = fold_sessions([9 * H, 10 * H], None, gap)
+    assert closed == [] and st == (9 * H, 10 * H, 2)
+
+    # batch 2: LATE event 09:59 — joins the open session, `last` stays 10:00
+    closed, st = fold_sessions([9 * H + 59 * 60 * 1_000_000], st, gap)
+    assert closed == [] and st == (9 * H, 10 * H, 3)
+
+    # batch 3: 10:59:30 — within 1h of the true last (10:00): session
+    # continues (pre-fix, last had regressed to 09:59 and this event
+    # falsely closed it with session_end 09:59)
+    t4 = 10 * H + 59 * 60 * 1_000_000 + 30 * 1_000_000
+    closed, st = fold_sessions([t4], st, gap)
+    assert closed == []
+    assert st == (9 * H, t4, 4)
+
+    # a late event BEFORE the session start extends the start backward
+    closed, st = fold_sessions([9 * H - 30 * 1_000_000], st, gap)
+    assert closed == [] and st[0] == 9 * H - 30 * 1_000_000 and st[1] == t4
+
+    # a genuinely out-of-session event still closes it
+    t5 = t4 + gap + 1
+    closed, st = fold_sessions([t5], st, gap)
+    assert closed == [(9 * H - 30 * 1_000_000, t4, 5)]
+    assert st == (t5, t5, 1)
