@@ -20,15 +20,20 @@ import re
 _LINK_RE = re.compile(r'<a href="([^"]*)"')
 
 
-def ref_extract(html: bytes | None) -> str:
-    """Spec: decode UTF-8, take the FIRST ``<p>…</p>`` inner content,
-    HTML-unescape it. Missing/invalid page -> empty string."""
+def _decode(html) -> str | None:
+    """UTF-8 decode of the page bytes; None for missing/undecodable."""
     if not html:
-        return ""
+        return None
     try:
-        s = html.decode("utf-8")
+        return html.decode("utf-8")
     except UnicodeDecodeError:
-        return ""
+        return None
+
+
+def _extract_from_str(s: str) -> str:
+    """FIRST ``<p>…</p>`` inner content, HTML-unescaped; '' if absent.
+    Single shared implementation so the engine hot path (handle_page) and
+    the oracle (ref_extract) cannot drift."""
     i = s.find("<p>")
     if i < 0:
         return ""
@@ -38,34 +43,27 @@ def ref_extract(html: bytes | None) -> str:
     return _htmllib.unescape(s[i + 3 : j])
 
 
+def ref_extract(html: bytes | None) -> str:
+    """Spec: decode UTF-8, take the FIRST ``<p>…</p>`` inner content,
+    HTML-unescape it. Missing/invalid page -> empty string."""
+    s = _decode(html)
+    return "" if s is None else _extract_from_str(s)
+
+
 def discover_links(html: bytes | None) -> list[str]:
     """Spec: every ``<a href="...">`` attribute value, document order,
     raw (un-canonicalized) spelling preserved."""
-    if not html:
-        return []
-    try:
-        s = html.decode("utf-8")
-    except UnicodeDecodeError:
-        return []
-    return _LINK_RE.findall(s)
+    s = _decode(html)
+    return [] if s is None else _LINK_RE.findall(s)
 
 
 def handle_page(html):
     """One-pass handler: (extracted_text, outlinks) — the single decode of
     the page bytes (the hot path touches each html exactly once)."""
-    if not html:
+    s = _decode(html)
+    if s is None:
         return "", []
-    try:
-        s = html.decode("utf-8")
-    except UnicodeDecodeError:
-        return "", []
-    i = s.find("<p>")
-    text = ""
-    if i >= 0:
-        j = s.find("</p>", i)
-        if j >= 0:
-            text = _htmllib.unescape(s[i + 3 : j])
-    return text, _LINK_RE.findall(s)
+    return _extract_from_str(s), _LINK_RE.findall(s)
 
 
 # ---------------------------------------------------------------------------
@@ -111,15 +109,3 @@ def extract_udf():
         return htmls.map(ref_extract)
 
     return F.pandas_udf(_extract, T.StringType())
-
-
-def links_udf():
-    """``pandas_udf``: BINARY html -> ARRAY<STRING> raw outlinks."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    def _links(htmls: pd.Series) -> pd.Series:
-        return htmls.map(discover_links)
-
-    return F.pandas_udf(_links, T.ArrayType(T.StringType()))

@@ -17,7 +17,7 @@ from __future__ import annotations
 import html as _htmllib
 import os
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
 T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -33,18 +33,12 @@ VOCAB = [
 ]
 
 
-def sf_n_urls(sf: float) -> int:
-    """FIXTURES.md scale knob: sf0.001 -> 2,000 ... sf0.1 -> 200,000."""
-    return int(round(sf * 2_000_000))
-
-
 @dataclass(frozen=True)
 class FixtureConfig:
     n_urls: int
     skew: bool = False
     retry_limit: int = 1
     n_buckets: int = 64
-    cycles: int = 3
 
     @property
     def n_hosts(self) -> int:
@@ -115,8 +109,13 @@ class FixtureConfig:
         h = f"host{t % self.n_hosts}.example.com"
         return f"https://{h}/p/{t}?a={t % 5}&b={t % 7}"
 
-    def html(self, i: int) -> bytes:
-        esc = _htmllib.escape(self.text(i), quote=False)
+    def html(self, i: int, _text: str | None = None) -> bytes:
+        # _text lets generate() pass the already-computed text — text(i)
+        # seeds a fresh PRNG and draws up to 60 words, and computing it
+        # twice per row doubled generation time at the 8M bench fixture
+        esc = _htmllib.escape(
+            self.text(i) if _text is None else _text, quote=False
+        )
         links = "".join(
             f'<li><a href="{self.link_href(t)}">l</a></li>'
             for t in self.link_targets(i)
@@ -161,6 +160,13 @@ class FixtureConfig:
         return rows
 
     def seed_rows(self) -> list[dict]:
+        # n_seeds is an UPPER BOUND: seeds are drawn from i % 17 == 0 rows
+        # only (~n_urls/17 candidates), so fixtures under ~850 URLs yield
+        # fewer seeds than the spec (n=200 -> 12, not 50). Engine and
+        # oracle read the same seeds.parquet, so traces always agree;
+        # kept as-is because changing the draw would shift every golden
+        # trace and bench counter. Size tiny-fixture expectations from
+        # len(seed_rows()), never from n_seeds.
         rows = []
         i = 0
         while len(rows) < self.n_seeds and i < self.n_urls:
@@ -178,14 +184,17 @@ def generate(out_dir: str, cfg: FixtureConfig) -> None:
     os.makedirs(out_dir, exist_ok=True)
     n = cfg.n_urls
 
+    texts = [cfg.text(i) for i in range(n)]
     pages = pa.table(
         {
             "url": pa.array([cfg.raw_url(i) for i in range(n)], pa.string()),
             "warc_ts": pa.array(
                 [cfg.warc_ts(i) for i in range(n)], pa.timestamp("us", tz="UTC")
             ),
-            "html": pa.array([cfg.html(i) for i in range(n)], pa.binary()),
-            "text": pa.array([cfg.text(i) for i in range(n)], pa.string()),
+            "html": pa.array(
+                [cfg.html(i, texts[i]) for i in range(n)], pa.binary()
+            ),
+            "text": pa.array(texts, pa.string()),
             "lang": pa.array([cfg.lang(i) for i in range(n)], pa.string()),
         }
     )

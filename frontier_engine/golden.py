@@ -23,29 +23,45 @@ from .tableio import TableIO
 def build_engine(
     spark: SparkSession, fixture_dir: str, workdir: str, cfg: EngineConfig
 ) -> FrontierScheduler:
+    import shutil
+
     io = TableIO(workdir)
     pages_canon = os.path.join(workdir, "pages_canon")
     marker = os.path.join(workdir, "pages_canon.nbuckets")
-    if os.path.exists(pages_canon):
-        # the bucketed table's physical layout bakes in n_buckets; reusing
-        # it under a different cfg would register wrong CLUSTERED BY
-        # metadata and silently misroute the bucketed fetch join
-        prev = None
-        if os.path.exists(marker):
+    rebuild = not os.path.exists(pages_canon)
+    if not rebuild:
+        # the bucketed table's physical layout bakes in n_buckets and the
+        # source fixture; reusing it under a different cfg would register
+        # wrong CLUSTERED BY metadata and silently misroute the bucketed
+        # fetch join, and reusing it for a DIFFERENT fixture_dir (same
+        # n_buckets) would golden-compare against the wrong corpus
+        if not os.path.exists(marker):
+            # dir without marker = a build interrupted between the table
+            # rename and the marker write — rebuild instead of erroring
+            shutil.rmtree(pages_canon)
+            rebuild = True
+        else:
             with open(marker) as f:
-                prev = int(f.read().strip())
-        if prev != cfg.n_buckets:
-            raise ValueError(
-                f"workdir {workdir!r} has pages_canon prepared with "
-                f"n_buckets={prev}, but cfg.n_buckets={cfg.n_buckets}; "
-                "use a fresh workdir (or matching cfg)"
-            )
-    else:
+                lines = f.read().splitlines()
+            prev = int(lines[0])
+            prev_fix = lines[1] if len(lines) > 1 else None
+            if prev != cfg.n_buckets or (
+                prev_fix is not None
+                and prev_fix != os.path.abspath(fixture_dir)
+            ):
+                raise ValueError(
+                    f"workdir {workdir!r} has pages_canon prepared with "
+                    f"n_buckets={prev} from {prev_fix!r}, but this build "
+                    f"wants n_buckets={cfg.n_buckets} from "
+                    f"{os.path.abspath(fixture_dir)!r}; use a fresh "
+                    "workdir (or matching cfg/fixture)"
+                )
+    if rebuild:
         pages_canon = prepare_pages(
             spark, os.path.join(fixture_dir, "pages.parquet"), io, cfg
         )
         with open(marker, "w") as f:
-            f.write(str(cfg.n_buckets))
+            f.write(f"{cfg.n_buckets}\n{os.path.abspath(fixture_dir)}")
     robots = spark.read.parquet(os.path.join(fixture_dir, "robots.parquet"))
     seeds = spark.read.parquet(os.path.join(fixture_dir, "seeds.parquet"))
     return FrontierScheduler(spark, io, cfg, pages_canon, robots, seeds)

@@ -85,17 +85,26 @@ def prepare_pages(
         .select(*schemas.PAGES_CANON.fieldNames())
     )
     loc = os.path.join(io.root, "pages_canon")
+    # write to a tmp location and rename into place so a crash mid-prepare
+    # never leaves a partial pages_canon that a later exists-check (bench
+    # ensure_corpus, golden build_engine) would trust as complete
+    tmp_loc = loc + ".tmp-" + _uuid.uuid4().hex[:8]
     writer_name = f"pages_canon_writer_{_uuid.uuid4().hex[:8]}"
     (
         pc.write.mode("overwrite")
         .bucketBy(cfg.n_buckets, "url_hash")
         .sortBy("url_hash")
-        .option("path", loc)
+        .option("path", tmp_loc)
         .saveAsTable(writer_name)
     )
     # keep the files (external location), drop the session-local entry —
     # readers re-register via register_pages_table
     spark.sql(f"DROP TABLE {writer_name}")
+    if os.path.exists(loc):
+        import shutil as _shutil
+
+        _shutil.rmtree(loc)
+    os.rename(tmp_loc, loc)
     return loc
 
 

@@ -22,6 +22,9 @@ def get_spark(
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        # local[N,maxFailures] is a legal master spelling — thread count
+        # is the part before the comma
+        n = n.split(",")[0]
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
     b = (
         SparkSession.builder.master(master)

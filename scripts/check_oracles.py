@@ -41,7 +41,12 @@ def _norm(v):
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):
-            return "nan"
+            # None, not the string "nan": a str cell next to floats makes
+            # sort_values throw, flagging a MATCHING query as ERR. This
+            # collapses the NaN/NULL distinction — fine for this replica,
+            # no registry query emits NaN (they'd be nondeterministic
+            # hashes on the driver anyway)
+            return None
         return round(f, 6)
     if isinstance(v, Decimal):
         return round(float(v), 6)
@@ -109,10 +114,13 @@ def main():
             bad += 1
             print(f"{name}: MISMATCH spark={len(s_rows)} duck={len(d_rows)} "
                   f"cols {cols} vs {dcols}")
-            for a, b in list(zip(s_rows, d_rows))[:3]:
-                if a != b:
-                    print("   spark:", a)
-                    print("   duck :", b)
+            # first three DIFFERING pairs (filter before slicing — the
+            # old [:3] slice usually showed nothing when the first
+            # divergence sat past row 3)
+            diff = [p for p in zip(s_rows, d_rows) if p[0] != p[1]][:3]
+            for a, b in diff:
+                print("   spark:", a)
+                print("   duck :", b)
         else:
             print(f"{name}: OK ({len(s_rows)} rows)")
     print(f"\n{'ALL OK' if bad == 0 else f'{bad} MISMATCHES'} "
