@@ -201,3 +201,32 @@ def test_pagerank_dims_broadcast_only_under_threshold(spark):
     small = _plan(ranks)
     assert "BroadcastHashJoin" in small, small
     assert ranks.count() == 40  # every src + dst host gets a rank row
+
+
+def test_filter_cap_scan_is_partition_pruned(spark, tmp_path):
+    """The fresh-filter capacity scan (membership.rebuild_filters)
+    restricts its aggregation to buckets MISSING a previous filter via
+    host_bucket.isin(missing). That only saves work if the predicate
+    reaches the hive-partitioned delta read as a PartitionFilter — pin
+    it: the same TableIO read path plus the isin must partition-prune,
+    never scan every bucket dir."""
+    from frontier_engine import schemas
+    from frontier_engine.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    delta = spark.createDataFrame(
+        [(h, h % 4, 1) for h in range(200)], schemas.URL_SEEN
+    )
+    io.commit(1, {"url_seen": (delta.repartition(4, "host_bucket"),
+                               ["host_bucket"])})
+    read = io.read_appended(spark, "url_seen", 1, schemas.URL_SEEN)
+    pruned = read.where(F.col("host_bucket").isin([1, 3]))
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan, plan
+    # the isin lands in PartitionFilters (value pruning), not only as a
+    # post-scan data filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("host_bucket" in ln and "[]" not in ln.split(
+        "PartitionFilters:")[1].split("PushedFilters")[0] for ln in pf), plan
+    # and the pruned read returns exactly the two buckets' rows
+    assert pruned.count() == 100
