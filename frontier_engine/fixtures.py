@@ -231,13 +231,55 @@ def generate(out_dir: str, cfg: FixtureConfig) -> None:
     )
 
 
+def generator_fingerprint(skew: bool = False) -> str:
+    """Content hash of a small probe corpus: changes exactly when fixture
+    GENERATION BEHAVIOR changes (not on comment/refactor edits that keep
+    output byte-identical). Guards the generate-once caches — without it,
+    an edit to the generator silently served every test and bench run the
+    stale parquet under the old _COMPLETE marker."""
+    import hashlib
+
+    cfg = FixtureConfig(n_urls=250, skew=skew)  # 250 covers the 97/13
+    # dup-spelling rules, the h%11 robots rule, and the link pad
+    h = hashlib.sha256()
+    for i in range(cfg.n_urls):
+        for part in (
+            cfg.raw_url(i), cfg.text(i), cfg.lang(i),
+            cfg.warc_ts(i).isoformat(),
+        ):
+            h.update(part.encode())
+        h.update(cfg.html(i))
+    h.update(repr(cfg.seed_rows()).encode())
+    h.update(repr(cfg.robots_rows()).encode())
+    h.update(repr(sorted(cfg.budgets().items())).encode())
+    return h.hexdigest()[:16]
+
+
 def ensure_fixtures(base_dir: str, n_urls: int, skew: bool = False) -> str:
-    """Generate-once cache; returns the fixture directory."""
+    """Generate-once cache; returns the fixture directory. The _COMPLETE
+    marker records the generator fingerprint; a mismatch regenerates the
+    whole dir (including any bucketed pages_canon prepared inside it —
+    it derives from the same pages and would be stale too). Legacy 'ok'
+    markers are upgraded in place: every such cache predates the
+    fingerprint and was built by the then-current generator."""
+    import shutil
+
     tag = f"n{n_urls}" + ("-skew" if skew else "")
     out = os.path.join(base_dir, tag)
     marker = os.path.join(out, "_COMPLETE")
-    if not os.path.exists(marker):
-        generate(out, FixtureConfig(n_urls=n_urls, skew=skew))
-        with open(marker, "w") as f:
-            f.write("ok\n")
+    fp = generator_fingerprint(skew)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = f.read().strip()
+        if prev == "ok":  # legacy marker — one-time upgrade
+            with open(marker, "w") as f:
+                f.write(fp + "\n")
+            return out
+        if prev == fp:
+            return out
+        shutil.rmtree(out)  # generator changed: cache (and any
+        # pages_canon inside it) is stale
+    generate(out, FixtureConfig(n_urls=n_urls, skew=skew))
+    with open(marker, "w") as f:
+        f.write(fp + "\n")
     return out

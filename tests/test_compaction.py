@@ -32,8 +32,12 @@ def test_compacted_seen_matches_refspec(spark, tiny_fixture_dir, tmp_path_factor
     raw = deltas[0]
     for d in deltas[1:]:
         raw = raw.unionByName(d)
-    assert sorted(r["url_hash"] for r in base_read.collect()) == sorted(
-        r["url_hash"] for r in raw.collect()
+    # full-row multiset, not just url_hash: a consolidation that garbles
+    # host_bucket (partition pruning key) or first_seen_cycle (the TTL
+    # window's residual filter) must fail here, not only downstream
+    key = lambda r: (r["url_hash"], r["host_bucket"], r["first_seen_cycle"])  # noqa: E731
+    assert sorted(map(key, base_read.collect())) == sorted(
+        map(key, raw.collect())
     )
 
     # resolved history is consolidated too (R16 status pruning analog)

@@ -132,15 +132,21 @@ def test_refspec_importable_without_pyspark():
     import sys
 
     code = (
+        # find_spec, NOT the legacy find_module protocol: Python 3.12
+        # removed the find_module fallback, which would have turned this
+        # blocker into a silent no-op (vacuously green) on upgrade
         "import sys\n"
         "class B:\n"
-        "    def find_module(self, name, path=None):\n"
+        "    def find_spec(self, name, path=None, target=None):\n"
         "        if name == 'pyspark' or name.startswith('pyspark.'):\n"
-        "            return self\n"
-        "    def load_module(self, name):\n"
-        "        raise ImportError('pyspark blocked: ' + name)\n"
+        "            raise ModuleNotFoundError('pyspark blocked: ' + name)\n"
         "sys.meta_path.insert(0, B())\n"
         "sys.modules.pop('pyspark', None)\n"
+        "try:\n"
+        "    import pyspark\n"
+        "    raise SystemExit('blocker inert — pyspark imported')\n"
+        "except ModuleNotFoundError:\n"
+        "    pass\n"
         "from frontier_engine.refspec import run  # noqa\n"
         "from frontier_engine.graph_py import integer_pagerank_py\n"
         "r = integer_pagerank_py([('a', 'b'), ('b', 'a')], iters=2)\n"

@@ -123,7 +123,9 @@ def test_oracle_queries_have_driver_hashable_schemas(spark):
 def test_rows_only_queries_run(spark, name):
     fn, _ = _registry()[name]
     df = fn(spark, SF_DIR)
-    assert df.count() >= 0
+    # > 0, not >= 0: every rows-only entry must produce rows at sf0.01
+    # (an empty frame from a broken join/filter passed the old tautology)
+    assert df.count() > 0
     assert len(df.columns) > 0
 
 

@@ -171,36 +171,60 @@ def test_fetch_join_does_not_shuffle_pages(spark, tiny_fixture_dir,
         "url_hash", F.col("url_canon").alias("page_canon"), "html", "text"
     )
     sched = eng._pages_canon().select("url_hash", "url_canon").limit(50)
-    j = sched.join(pages, "url_hash", "left")
-    plan = _plan(j)
-    # find the pages-side scan; assert no ShuffleExchange directly above it
-    lines = plan.split("\n")
-    scan_idx = [
-        i for i, l in enumerate(lines)
-        if "Scan parquet" in l and "pages_canon" in l
-    ]
-    assert scan_idx, plan
-    for i in scan_idx:
-        above = "\n".join(lines[max(0, i - 6): i])
-        assert "ShuffleExchange" not in above and "Exchange hashpartitioning" not in above, plan
+    # disable auto-broadcast: with a 50-row build side Spark picks
+    # BroadcastHashJoin, which NEVER exchanges the pages side regardless
+    # of bucketing — the property this test exists to pin (the bucketed
+    # layout satisfies the shuffle join's distribution) was vacuous.
+    # Forcing the sort-merge branch makes a bucketing regression (e.g.
+    # pages_canon written unbucketed) fail here.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = sched.join(pages, "url_hash", "left")
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # the pages scan must be the bucketed table (its layout satisfies the
+    # join's required distribution)...
+    assert "Bucketed: true" in plan, plan
+    # ...and therefore the ONLY hash-distribution exchange in the plan is
+    # the probe side's (re-hashing to meet the bucketed side). A second
+    # one would mean Spark shuffled the pages side — bucketing regressed.
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex == 1, plan
 
 
-def test_pagerank_dims_broadcast_only_under_threshold(spark):
+def test_pagerank_dims_broadcast_only_under_threshold(spark, monkeypatch):
     """Round-4 verdict #3: the rank/outdeg/contrib host-dims are no longer
     FORCE-broadcast — the hint is gated on BROADCAST_HOST_MAX (at ~10^8
     north-star hosts a forced multi-GB broadcast per unrolled round would
-    OOM the driver; above the gate AQE decides). Behavior below the gate is
-    unchanged: a small edge set's plan must still BroadcastHashJoin."""
+    OOM the driver; above the gate AQE decides). Below the gate the hint
+    is present; ABOVE the gate (simulated by forcing is_small_dim False —
+    a 40-row dim gets broadcast by size stats either way, so the physical
+    plan alone cannot see the gate) the hint must be ABSENT from the
+    analyzed plan, which is what an unconditional-F.broadcast revert
+    would break."""
+    from frontier_engine import graph
     from frontier_engine.graph import integer_pagerank
+
+    def _analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
 
     edges = spark.createDataFrame(
         [(f"h{i}", f"h{(i * 7 + 1) % 20}") for i in range(40)],
         "src string, dst string",
     )
     ranks = integer_pagerank(edges, iters=1)
-    small = _plan(ranks)
-    assert "BroadcastHashJoin" in small, small
+    assert "BroadcastHashJoin" in _plan(ranks), _plan(ranks)
+    assert "ResolvedHint" in _analyzed(ranks)  # gate said yes -> hinted
     assert ranks.count() == 40  # every src + dst host gets a rank row
+
+    # above-gate regime: the gate says no -> NO broadcast hint anywhere
+    monkeypatch.setattr(graph, "is_small_dim", lambda df, max_rows=None: False)
+    unhinted = integer_pagerank(edges, iters=1)
+    assert "ResolvedHint" not in _analyzed(unhinted), _analyzed(unhinted)
+    assert unhinted.count() == 40  # same result either way
 
 
 def test_filter_cap_scan_is_partition_pruned(spark, tmp_path):

@@ -41,11 +41,33 @@ def test_windowed_watermark_agg(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    # append mode emits only watermark-closed windows; the table exists and
-    # the query completed without error — compare closed windows vs batch
-    got = spark.sql("select * from winagg").count()
-    assert got >= 0
+    finished = q.awaitTermination(120)
+    assert finished, "availableNow query did not finish in 120s"
+    # append mode emits only watermark-closed windows: every emitted
+    # (window, event_type) count must EQUAL the batch aggregation of the
+    # same data, and the closed set must be non-trivial (the sf0.001
+    # events span weeks, so nearly every 1h window sits past the final
+    # 1h watermark). The old assertion here was `count() >= 0` — a
+    # tautology that passed with the operator entirely broken.
+    from pyspark.sql import functions as F
+
+    batch_rows = {
+        (r["start"], r["end"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w.start", "w.end", "event_type", "n")
+        .collect()
+    }
+    got = spark.sql("select * from winagg").collect()
+    assert len(got) > 0, "no window ever closed — watermark inert"
+    for r in got:
+        key = (r["start"], r["end"], r["event_type"])
+        assert batch_rows.get(key) == r["n"], (key, r["n"])
+    # closed windows cover most of the batch windows (all but the
+    # final watermark's worth can close)
+    assert len(got) >= len(batch_rows) // 2, (len(got), len(batch_rows))
     shutil.rmtree(src, ignore_errors=True)
 
 
