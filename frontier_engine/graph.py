@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 # rank scale + the pure-Python rank twin live in graph_py (no pyspark
 # imports) so the refspec oracle can use them standalone; re-exported here
 # for Spark-side callers
-from .graph_py import PR_SCALE, integer_pagerank_py  # noqa: F401
+from .graph_py import PR_BASE, PR_SCALE, integer_pagerank_py  # noqa: F401
 
 # Broadcast ceiling for host-cardinality dims (rank, outdeg, contrib): at
 # ~50 bytes/row this caps the forced broadcast at ~250 MB. The 10^10-URL
@@ -97,7 +97,7 @@ def integer_pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
             bc(contrib), hosts.host == contrib.dst, "left"
         ).select(
             "host",
-            (F.lit(150000) + F.expr("(17 * coalesce(s, 0)) div 20"))
+            (F.lit(PR_BASE) + F.expr("(17 * coalesce(s, 0)) div 20"))
             .cast("long")
             .alias("rnk"),
         )

@@ -7,7 +7,8 @@ environment that has only the stdlib (the point of a refspec). graph.py
 re-exports both names, so Spark-side callers are unchanged.
 """
 
-PR_SCALE = 1_000_000  # fixed-point rank scale; base = floor(0.15 * scale)
+PR_SCALE = 1_000_000  # fixed-point rank scale
+PR_BASE = 15 * PR_SCALE // 100  # damping base = floor(0.15 * scale)
 
 
 def integer_pagerank_py(edge_list, iters: int = 3) -> dict:
@@ -27,5 +28,5 @@ def integer_pagerank_py(edge_list, iters: int = 3) -> dict:
         s_in: dict = {}
         for s, d in e:
             s_in[d] = s_in.get(d, 0) + rnk[s] // outdeg[s]
-        rnk = {n: 150000 + (17 * s_in.get(n, 0)) // 20 for n in nodes}
+        rnk = {n: PR_BASE + (17 * s_in.get(n, 0)) // 20 for n in nodes}
     return rnk

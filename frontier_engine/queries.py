@@ -1790,6 +1790,7 @@ def q_host_pagerank(spark, sf_dir):
 
 
 def _sql_host_pagerank() -> str:
+    from .graph import PR_BASE as _PR_BASE
     from .graph import PR_SCALE as _PR_SCALE
 
     sq = (
@@ -1806,7 +1807,7 @@ def _sql_host_pagerank() -> str:
             f", c{i+1} AS (SELECT e.dst, SUM(r.rank // o.deg) AS s "
             f"FROM edges e JOIN r{i} r ON e.src = r.host "
             "JOIN outdeg o ON e.src = o.src GROUP BY e.dst)"
-            f", r{i+1} AS (SELECT h.host, CAST(150000 + "
+            f", r{i+1} AS (SELECT h.host, CAST({_PR_BASE} + "
             f"(17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS rank "
             f"FROM hosts h LEFT JOIN c{i+1} c ON h.host = c.dst)"
         )
