@@ -159,3 +159,43 @@ def test_refspec_importable_without_pyspark():
     )
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+def test_fixture_cache_fingerprint(tmp_path):
+    """ensure_fixtures regenerates exactly when generation behavior changes:
+    fresh builds record the generator fingerprint, legacy 'ok' markers are
+    upgraded in place without a rebuild, and a mismatched fingerprint
+    (simulating an edited generator) wipes and regenerates the dir."""
+    import os
+
+    from frontier_engine.fixtures import ensure_fixtures, generator_fingerprint
+
+    base = str(tmp_path)
+    d = ensure_fixtures(base, 250)
+    marker = os.path.join(d, "_COMPLETE")
+    fp = open(marker).read().strip()
+    assert fp == generator_fingerprint(False)
+    pages = os.path.join(d, "pages.parquet")
+    mtime = os.path.getmtime(pages)
+
+    # legacy marker: upgraded, NOT regenerated (those caches were built by
+    # the then-current generator)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    assert ensure_fixtures(base, 250) == d
+    assert open(marker).read().strip() == fp
+    assert os.path.getmtime(pages) == mtime
+
+    # stale fingerprint: the whole dir (incl. a derived artifact standing
+    # in for a prepared pages_canon) is wiped and rebuilt
+    derived = os.path.join(d, "pages_canon_stub")
+    open(derived, "w").write("derived-from-stale-pages")
+    with open(marker, "w") as f:
+        f.write("0123456789abcdef\n")
+    assert ensure_fixtures(base, 250) == d
+    assert open(marker).read().strip() == fp
+    assert not os.path.exists(derived)
+    assert os.path.getmtime(pages) != mtime
+
+    # skew=True hashes a different probe corpus
+    assert generator_fingerprint(True) != fp
