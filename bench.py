@@ -115,9 +115,20 @@ def benchrun_subprocess(
         cmd += ["--default-budget", str(default_budget)]
     if stages:
         cmd += ["--stages"]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
-    )
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
+        )
+    except subprocess.TimeoutExpired:
+        # a hypervisor-steal window can stretch one run past any sane
+        # timeout (observed: a 288 s local[1] leg exceeding 1800 s, 6x+,
+        # in one window while healthy immediately after). One lost run
+        # must not abort the whole suite — report it as a timed-out
+        # sample; best_of retries and discloses it.
+        return {
+            "master": master, "cycles": cycles, "timed_out": True,
+            "elapsed_sec": 1800.0, "urls_per_sec": 0.0,
+        }
     for line in out.stdout.splitlines():
         if line.startswith("BENCHJSON "):
             return json.loads(line[len("BENCHJSON "):])
@@ -137,9 +148,29 @@ def best_of(
     master: str, fix: str, pc: str, cycles: int, repeats: int,
     run=benchrun_subprocess,
 ) -> dict:
-    runs = [run(master, fix, pc, cycles) for _ in range(repeats)]
-    best = min(runs, key=lambda r: r["elapsed_sec"])
-    best["all_elapsed_sec"] = [r["elapsed_sec"] for r in runs]
+    """Best (min elapsed) of ``repeats`` fresh-JVM runs. Timed-out runs
+    (steal windows, benchrun_subprocess) don't count toward the best but
+    stay disclosed in all_elapsed_sec; each earns one replacement attempt
+    (bounded — a machine that times out 2x``repeats`` in a row is down,
+    not slow), and at least one run must finish."""
+    ok, walls, timeouts = [], [], 0
+    attempts = 0
+    while len(ok) < repeats and attempts < 2 * repeats:
+        attempts += 1
+        r = run(master, fix, pc, cycles)
+        walls.append(r["elapsed_sec"])
+        if r.get("timed_out"):
+            timeouts += 1
+        else:
+            ok.append(r)
+    if not ok:
+        raise RuntimeError(
+            f"all {attempts} bench runs for {master} timed out (1800 s)"
+        )
+    best = min(ok, key=lambda r: r["elapsed_sec"])
+    best["all_elapsed_sec"] = walls
+    if timeouts:
+        best["timed_out_runs"] = timeouts
     return best
 
 
@@ -445,6 +476,26 @@ def main() -> None:
         "suite_total_sec": total,
         "frontier": frontier,
     }
+    # persist what THIS run measured (before any stale fallback below),
+    # so partial runs (--skip-scaling) can still regenerate a complete
+    # doc later from the last genuinely measured block
+    last_path = os.path.join(REPO, "BENCH", "last_run.json")
+    prev_fr = {}
+    if args.skip_scaling:
+        try:
+            with open(last_path) as f:
+                prev_fr = json.load(f).get("frontier", {})
+        except (OSError, ValueError):
+            prev_fr = {}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(last_path, "w") as f:
+        json.dump(result, f, indent=1)
+    if args.skip_scaling and "scaling" not in frontier and prev_fr.get("scaling"):
+        # carried forward for --write-md only; marked stale so the doc
+        # discloses it came from an earlier run (the printed JSON line
+        # carries the same marker — the driver's full runs never hit this
+        # branch, so driver artifacts are always freshly measured)
+        frontier["scaling"] = {**prev_fr["scaling"], "stale": True}
     if args.write_md:
         write_md(result)
     print(json.dumps(result))
@@ -605,6 +656,12 @@ def write_md(result: dict) -> None:
             f" 4N={sc.get('adaptive_extra_runs_4N', 0)})",
             "",
         ]
+        if sc.get("stale"):
+            lines += [
+                "(carried forward from the last run that measured scaling —",
+                "this regeneration ran with --skip-scaling)",
+                "",
+            ]
         if sc.get("efficiency", 1.0) < 0.80:
             lines += [
                 "NOTE: this builder session landed in a heavy-steal window",
