@@ -126,3 +126,82 @@ def test_host_edges_and_nd_bands_compaction(
         ).collect()
     }
     assert got_rank == integer_pagerank_py(edges)
+
+
+def test_incremental_closure_across_compaction_boundary(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """An incremental nd-closure whose delta range crosses a compaction
+    cycle must still see that cycle's band rows. With nd_closure_every=2
+    and compact_every=3 over 4 cycles, closure 2 (cycle 4, incremental)
+    reads the cycle-3 band DELTA while cycle 3 also committed an
+    nd_bands_base absorbing cycles 1-3. Correct today because compaction
+    never deletes per-cycle delta dirs (read_delta_range depends on
+    them); this pins that invariant — a future "prune deltas once a base
+    exists" optimization would silently drop cycle-3 docs from every
+    later closure."""
+    from collections import defaultdict
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix),
+        enrich_pages=True,
+        nd_closure_every=2,
+        compact_every=3,
+    )
+    work = str(tmp_path_factory.mktemp("engine-ndclosure-compact"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=4)
+
+    # the seam is really present: base at the compaction cycle, second
+    # closure incremental, its input exactly the cycle-3+4 band deltas
+    assert "nd_bands_base" in eng.io.manifest(3)["tables"]
+    assert eng.io.manifest(2)["meta"]["nd_mode"] == "full"
+    m4 = eng.io.manifest(4)["meta"]
+    assert m4["nd_mode"] == "incremental"
+    d34 = sum(
+        eng.io.read_cycle(spark, "nd_bands", c, schemas.ND_BANDS).count()
+        for c in (3, 4)
+    )
+    assert m4["nd_input_bands"] == d34
+
+    # exactness: cycle-4 components == pure union-find over ALL bands
+    bands = eng.io.read_appended(
+        spark, "nd_bands", 4, schemas.ND_BANDS
+    ).collect()
+    verts = [
+        r["url_hash"]
+        for r in eng.io.read_appended(
+            spark, "page_stats", 4, schemas.PAGE_STATS
+        ).select("url_hash").distinct().collect()
+    ]
+    got = {
+        r["url_hash"]: r["nd_comp"]
+        for r in eng.io.read_cycle(
+            spark, "nd_components", 4, schemas.ND_COMPONENTS
+        ).collect()
+    }
+    assert len(got) == len(verts) > 0
+
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    buckets = defaultdict(list)
+    for r in bands:
+        buckets[(r["band"], r["bkey"])].append(r["_id"])
+    for ids in buckets.values():
+        m = min(ids)
+        for i in ids:
+            ra, rb = find(m), find(i)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    assert got == {v: comp_min[find(v)] for v in verts}
