@@ -632,7 +632,7 @@ def write_md(result: dict) -> None:
             f" (runs {stg['all_elapsed_sec']};"
             f" median {stg.get('median_elapsed_sec')} s)",
             f"- cost vs headline: {ratio}x elapsed",
-            "  (quiet-window probes measured ~100 s / ~2.6x after the",
+            "  (quiet-window best on record: 75.5 s / 1.94x, after the",
             "  round-4 recomputation fixes — docs/EXPLAIN.md §6; the",
             "  runs above disclose this session's window)",
             "",
