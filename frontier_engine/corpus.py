@@ -290,10 +290,12 @@ def ann_enrich(
 # the FLOOR-QUANTIZED centroid c_kd = ⌊s_kd / n_k⌋ (sign-safe floor via
 # pmod, so Spark `div`, DuckDB `//` and Python `//` all agree), ties
 # broken by smallest k. The residual is bounded by the quantized value
-# range — independent of cluster size — so the squared sum can NEVER
-# overflow int64 (the earlier n·v − s numerator grew with n² and would
-# overflow once a cluster holds ~10^5 docs, i.e. exactly at the corpus
-# scale this index targets). No division in the comparison at all: the
+# range — independent of cluster size — and quantization CLAMPS each dim
+# to ±ANN_IVF_VMAX (see below), so the squared sum can never overflow
+# int64, unconditionally — not even for a pathological mega-doc (the
+# earlier n·v − s numerator grew with n² and would overflow once a
+# cluster holds ~10^5 docs, i.e. exactly at the corpus scale this index
+# targets). No division in the comparison at all: the
 # whole training run is integer-exact, bit-reproducible, and has an
 # exact pure-Python twin (ivf_py, golden).
 #
@@ -310,6 +312,38 @@ def ann_enrich(
 ANN_IVF_K = 16       # trained cell count (matches 2^N_HYPER of LSH mode)
 ANN_IVF_Q = 10_000   # quantization scale: v_d = floor(emb_d * Q) as int64
 ANN_IVF_ROUNDS = 2   # Lloyd iterations per build
+# Per-dim magnitude clamp applied AT quantization, which makes the no-
+# overflow claim unconditional instead of corpus-dependent: the hashed-word
+# embedding's per-dim value is a signed word count, so a pathological
+# ~10^5+-word doc hashing to one dim could push |v| ~ 1e9, t^2 ~ 1e18 per
+# dim, and a 16-dim sum past 2^63 (Spark's non-ANSI long sum wraps
+# SILENTLY). With |v| <= VMAX: |t| = |v - floor(s/n)| <= 2*VMAX (the floored
+# centroid of clamped values stays in [-VMAX, VMAX]), so the distance sum is
+# <= 16 * (2*VMAX)^2 = 5.76e18 < 2^63-1, and the centroid stat sum |s| <=
+# n*VMAX overflows only past n > 3e10 docs in ONE cluster — beyond the
+# 10^10-URL north-star frontier itself. The clamp is a no-op until a doc
+# packs >= VMAX/Q = 30k same-dim words; all four twins (Spark train, Spark
+# assign, ivf_py, ivf_route_py) and the driver query's DuckDB oracle apply
+# it identically, so cross-engine exactness is preserved.
+ANN_IVF_VMAX = 300_000_000
+
+
+def _q_col(x):
+    """Clamped quantization of one embedding dim (Spark Column)."""
+    v = F.floor(x * ANN_IVF_Q)
+    return (
+        F.greatest(
+            F.least(v, F.lit(ANN_IVF_VMAX).cast("long")),
+            F.lit(-ANN_IVF_VMAX).cast("long"),
+        )
+    ).cast("long")
+
+
+def _q_py(x: float) -> int:
+    """Pure-Python twin of _q_col."""
+    import math
+
+    return max(-ANN_IVF_VMAX, min(ANN_IVF_VMAX, int(math.floor(x * ANN_IVF_Q))))
 
 
 def ivf_train_collect(
@@ -326,9 +360,7 @@ def ivf_train_collect(
     md5c = F.md5(F.col(id_col).cast("string"))
     full = df.select(
         F.col(id_col).alias("_vid"),
-        F.transform(
-            "emb", lambda x: F.floor(x * ANN_IVF_Q).cast("long")
-        ).alias("lv"),
+        F.transform("emb", _q_col).alias("lv"),
         md5c.alias("_m"),
     )
     base = full
@@ -405,9 +437,7 @@ def ivf_assign_cells(
     )
     lv = df.select(
         F.col(id_col).alias("_vid"),
-        F.transform(
-            "emb", lambda x: F.floor(x * ANN_IVF_Q).cast("long")
-        ).alias("lv"),
+        F.transform("emb", _q_col).alias("lv"),
     )
     exploded = lv.select("_vid", F.posexplode("lv").alias("d", "val"))
     a = _ivf_assign(exploded, cent_df, "_vid").select(
@@ -425,10 +455,8 @@ def ivf_py(items, sample_hex: int = 16) -> tuple:
     """Pure-Python twin of ivf_train_collect + ivf_assign_cells (golden):
     ``items`` = [(id, emb_list)]; returns (sorted centroid stats rows,
     {id: cell})."""
-    import math
-
     def q(e):
-        return [int(math.floor(x * ANN_IVF_Q)) for x in e]
+        return [_q_py(x) for x in e]
 
     sample = [
         (i, q(e))
@@ -486,9 +514,7 @@ def ivf_route_py(cent_rows, emb, nprobe: int = 1) -> list[int]:
     nprobe=1 routing reproduces the committed assignment of any indexed
     vector bit-for-bit. Pure Python over K×D = 256 rows (probe metadata,
     collected driver-side exactly like the multiprobe cell literals)."""
-    import math
-
-    lv = [int(math.floor(x * ANN_IVF_Q)) for x in emb]
+    lv = [_q_py(x) for x in emb]
     stats: dict = {}
     for k, d, s, n in cent_rows:
         stats[(k, d)] = (s, n)
@@ -504,7 +530,8 @@ def ivf_route_py(cent_rows, emb, nprobe: int = 1) -> list[int]:
 
 
 def ivf_probe_topk(
-    spark, io, cycle: int, query_emb, topk: int = 5, nprobe: int = 1
+    spark, io, cycle: int, query_emb, topk: int = 5, nprobe: int = 1,
+    whole_corpus: bool = False,
 ) -> DataFrame:
     """Similarity search over the committed trained-IVF ``ann_index``:
     route the query to its ``nprobe`` nearest trained cells via
@@ -513,7 +540,16 @@ def ivf_probe_topk(
     cells are plan-time literals, so the hive-partitioned index scan
     partition-prunes to ``nprobe`` dirs (pinned in the engine golden) —
     the other ANN_IVF_K − nprobe cells are never read; top-k compiles to
-    TakeOrderedAndProject, never a global sort."""
+    TakeOrderedAndProject, never a global sort.
+
+    ``whole_corpus=True`` probes the ACCUMULATED index instead of cycle
+    ``cycle``'s delta: base (``ann_index_base``, consolidated on the
+    compact cadence) + the delta dirs after it — the reference-analog of
+    handlers consuming the accumulated container, not one scan's delta
+    (container_crawler __init__.py::submit_items ≈L295). Well-defined
+    because the quantizer is PINNED (trained once, reused every cycle —
+    scheduler ann block), so cell ids are comparable across cycles and
+    pruning applies identically to every dir of the union."""
     import math
 
     from . import schemas
@@ -521,18 +557,27 @@ def ivf_probe_topk(
     qn = math.sqrt(sum(x * x for x in query_emb))
     if qn == 0:
         raise ValueError("zero-norm query embedding")
+    cent_cycle = cycle
+    if whole_corpus:
+        # any cycle's ann_centroids rows are the same pinned stats; read
+        # the latest committed ones <= cycle
+        cent_cycle = io.latest_table_cycle("ann_centroids", cycle) or cycle
     cent_rows = [
         (r["k"], r["d"], r["s"], r["n"])
         for r in io.read_cycle(
-            spark, "ann_centroids", cycle, schemas.ANN_CENTROIDS
+            spark, "ann_centroids", cent_cycle, schemas.ANN_CENTROIDS
         ).collect()
     ]
     cells = ivf_route_py(cent_rows, query_emb, nprobe)
     qe = F.array(*[F.lit(float(x)) for x in query_emb])
     norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    idx = (
+        io.read_appended(spark, "ann_index", cycle, schemas.ANN_INDEX)
+        if whole_corpus
+        else io.read_cycle(spark, "ann_index", cycle, schemas.ANN_INDEX)
+    )
     base = (
-        io.read_cycle(spark, "ann_index", cycle, schemas.ANN_INDEX)
-        .where(F.col("cell").isin(cells))
+        idx.where(F.col("cell").isin(cells))
         .select("url_hash", "emb", norm.alias("nrm"))
         .where("nrm > 0")
     )

@@ -1353,6 +1353,11 @@ SQL_ANN_IVF_TOPK = (
 _KM_K = 8        # trained-IVF centroid count
 _KM_ROUNDS = 3   # Lloyd iterations
 _KM_Q = 10_000   # quantization scale: v_d = floor(emb_d * _KM_Q) as BIGINT
+# per-dim clamp at quantization (mirrors corpus.ANN_IVF_VMAX): makes the
+# no-overflow argument unconditional — |v| <= VMAX bounds the assignment
+# residual by 2*VMAX, so sum over dims of t^2 <= D*(2*VMAX)^2 < 2^63-1 for
+# any input magnitude; a no-op on the bounded testdata embeddings
+_KM_VMAX = 300_000_000
 
 
 def _ivf_trained_train(spark, sf_dir):
@@ -1371,8 +1376,9 @@ def _ivf_trained_train(spark, sf_dir):
     `div`, DuckDB `//` and Python `//` agree) and compares the exact
     integer distance Σ_d(v_d − c_kd)², ties broken by smallest k via
     row_number. No floats anywhere in training, and the residual is
-    bounded by the quantized value range — independent of cluster size —
-    so the squared sum cannot overflow int64 at any corpus scale (an
+    bounded by the quantized value range — independent of cluster size,
+    and clamped to ±_KM_VMAX at quantization on both engines — so the
+    squared sum cannot overflow int64 for any input (an
     n-scaled numerator like Σ(n·v − s)² grows with n² and would overflow
     once a cluster reaches ~10^5 members).
 
@@ -1382,7 +1388,13 @@ def _ivf_trained_train(spark, sf_dir):
     broadcast join + two partial-agg shuffles of key-sized data. At corpus
     scale the init seeds come from the same md5 order over a sample."""
     e = _t(spark, sf_dir, "embeddings")
-    lv = F.transform(_emb_double(), lambda x: F.floor(x * _KM_Q))
+    lv = F.transform(
+        _emb_double(),
+        lambda x: F.greatest(
+            F.least(F.floor(x * _KM_Q), F.lit(_KM_VMAX).cast("long")),
+            F.lit(-_KM_VMAX).cast("long"),
+        ),
+    )
     base = e.select("vec_id", lv.alias("lv"))
     exploded = base.select(
         "vec_id", F.posexplode("lv").alias("d", "val")
@@ -1501,7 +1513,8 @@ def _sql_ann_ivf_trained(nprobe: int = 1) -> str:
     D = _EMB_DIM
     sq = (
         "WITH base AS (SELECT vec_id, "
-        f"list_transform(embedding::DOUBLE[], x -> CAST(floor(x * {_KM_Q}) "
+        f"list_transform(embedding::DOUBLE[], x -> CAST(greatest(least("
+        f"floor(x * {_KM_Q}), {_KM_VMAX}), -{_KM_VMAX}) "
         "AS BIGINT)) AS lv FROM embeddings), "
         "seeds AS (SELECT vec_id, lv, CAST(ROW_NUMBER() OVER "
         "(ORDER BY md5(vec_id::VARCHAR)) - 1 AS INT) AS k FROM base "
@@ -2211,10 +2224,13 @@ _ENTRY_ENGINE_MEMO: list = [None]
 
 
 def _entry_engine(spark):
-    """The shared cached engine run behind the engine-output queries: one
-    cycle on the deterministic n=2000 fixture with the ANN-index stage on
-    (ann_index is output-only — the crawl trace is identical with it off,
-    pinned by the goldens). Cached under .engine_runs keyed by the
+    """The shared cached engine run behind the engine-output queries: TWO
+    cycles on the deterministic n=2000 fixture with the ANN-index stage on
+    and compact_every=2, so the snapshot carries a consolidated
+    ann_index_base (cycle 2) for the whole-corpus similarity queries —
+    they probe base+delta over the accumulated corpus, not one cycle's
+    delta (ann_index is output-only — the crawl trace is identical with it
+    off, pinned by the goldens). Cached under .engine_runs keyed by the
     engine-source hash so a code change can never serve a stale snapshot
     to the driver's smoke/oracle check; additionally memoized in-process so
     every engine-backed query after the first serves the already-committed
@@ -2241,7 +2257,9 @@ def _entry_engine(spark):
 
     fix_dir = ensure_fixtures(os.path.join(REPO, ".fixtures"), 2000)
     cfg = _dc.replace(
-        config_for_fixture(FixtureConfig(n_urls=2000)), ann_index=True
+        config_for_fixture(FixtureConfig(n_urls=2000)),
+        ann_index=True,
+        compact_every=2,
     )
     runs_root = os.path.join(REPO, ".engine_runs")
     if os.path.isdir(runs_root):  # drop stale runs from older code versions
@@ -2250,8 +2268,9 @@ def _entry_engine(spark):
                 _shutil.rmtree(os.path.join(runs_root, d), ignore_errors=True)
     work = os.path.join(runs_root, tag)
     eng = build_engine(spark, fix_dir, work, cfg)
-    if eng.io.latest_cycle() < 1:
-        eng.run_cycle(1)
+    have = eng.io.latest_cycle()
+    if have < 2:
+        eng.run(cycles=2 - have)
     _ENTRY_ENGINE_MEMO[0] = (tag, eng)
     return eng
 
@@ -2269,17 +2288,24 @@ def q_crawl_schedule_c1(spark, sf_dir):
 
 
 def q_ann_corpus_topk(spark, sf_dir):
-    """Similarity search over the ENGINE'S OWN corpus: probe the committed
-    cycle-1 ann_index table (corpus.ann_enrich output) with its first 3
-    pages as query vectors — join restricted to the query's hyperplane-LSH
-    cell (at scale: a partition-pruned scan of one cell dir, never the full
-    corpus), exact cosine + window top-3 within the cell. Rows-only for the
-    driver (engine tables are not DuckDB views); the exact oracle is the
-    pure-Python recompute in tests/test_driver_queries.py."""
+    """Similarity search over the ENGINE'S OWN WHOLE corpus: probe the
+    consolidated ann_index (base@compact + deltas — every cycle's fetched
+    docs, not one cycle's) with its first 3 pages as query vectors — join
+    restricted to the query's hyperplane-LSH cell (at scale: a partition-
+    pruned scan of one cell dir per index segment, never the full corpus;
+    cell ids are comparable across cycles because LSH cells are data-
+    independent and IVF cells come from the pinned quantizer), exact
+    cosine + window top-3 within the cell. The reference-analog is the
+    handler consuming the ACCUMULATED container, not one scan's delta
+    (container_crawler __init__.py::submit_items ≈L295). Rows-only for
+    the driver (engine tables are not DuckDB views); the exact oracle is
+    the pure-Python recompute in tests/test_driver_queries.py."""
     from . import schemas
 
     eng = _entry_engine(spark)
-    idx = eng.io.read_cycle(spark, "ann_index", 1, schemas.ANN_INDEX)
+    idx = eng.io.read_appended(
+        spark, "ann_index", eng.io.latest_cycle(), schemas.ANN_INDEX
+    )
     norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
     base = idx.select("url_hash", "cell", "emb", norm.alias("nrm")).where(
         "nrm > 0"
@@ -2326,14 +2352,18 @@ def q_ann_corpus_multiprobe(spark, sf_dir):
     (pinned in test_plans) — at corpus scale the probe never touches the
     other 2^N_HYPER - (N_HYPER+1) cells. Rows-only for the driver (engine
     tables are not DuckDB views); exact pytest oracle recomputes it in pure
-    Python from the same committed rows (test_driver_queries)."""
+    Python from the same committed rows (test_driver_queries). Probes the
+    WHOLE accumulated corpus (consolidated base + deltas), like
+    ann_corpus_topk above."""
     import math as _math
 
     from . import schemas
     from .corpus import N_HYPER
 
     eng = _entry_engine(spark)
-    idx = eng.io.read_cycle(spark, "ann_index", 1, schemas.ANN_INDEX)
+    idx = eng.io.read_appended(
+        spark, "ann_index", eng.io.latest_cycle(), schemas.ANN_INDEX
+    )
     norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
     qrow = (
         idx.select("url_hash", "emb", "cell")

@@ -44,6 +44,15 @@ def _bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+# Write salt for the cell-partitioned ANN index: k-means / LSH cells over
+# web text are Zipf-skewed, and a plain repartition(n_cells, "cell") makes
+# the hottest cell ONE straggler task writing ONE giant file at 100-TB
+# scale. Salting the repartition key (cell, pmod(url_hash, SALT)) spreads a
+# hot cell over up to SALT tasks/files while partitionBy("cell") keeps the
+# directory layout — probe-side partition pruning is unchanged.
+ANN_WRITE_SALT = 4
+
+
 def prepare_pages(
     spark: SparkSession, pages_path: str, io: TableIO, cfg: EngineConfig
 ) -> str:
@@ -272,7 +281,27 @@ class FrontierScheduler:
     # -- the cycle ---------------------------------------------------------
 
     def run_cycle(self, cycle: int, build_filters: bool = True) -> CycleResult:
+        """One crawl cycle. Every frame persisted inside the body is
+        registered on ``tracked`` and unpersisted here in a finally: an
+        exception mid-cycle must not leak cached frames into the Spark
+        session for its remaining lifetime (a long-running driver loop
+        retries cycles — leaked caches would accumulate across retries)."""
+        tracked: list = []
+        try:
+            return self._run_cycle(cycle, build_filters, tracked)
+        finally:
+            for df in tracked:
+                df.unpersist()
+
+    def _run_cycle(
+        self, cycle: int, build_filters: bool, tracked: list
+    ) -> CycleResult:
         spark, io, cfg = self.spark, self.io, self.cfg
+
+        def _p(df):
+            """persist + register for the end-of-cycle finally unpersist"""
+            tracked.append(df)
+            return df.persist()
         if cfg.auto_salt:
             politeness_salt = salt_factor = self._auto_salt(cycle)
         else:
@@ -385,7 +414,7 @@ class FrontierScheduler:
             )
             if latest is not None:
                 cand = cand.drop("_rh", "rnk")
-        cand.persist()
+        _p(cand)
         tick("ingest: candidates", cand)
 
         # within-batch dedup: keep max priority per key (all other columns
@@ -410,6 +439,7 @@ class FrontierScheduler:
             definite_new, maybe_seen, tested_frame = split_by_filter(
                 cand_g, io, cycle - 1, cfg
             )
+            tracked.append(tested_frame)  # persisted inside split_by_filter
             confirmed_new = maybe_seen.join(seen, "url_hash", "left_anti")
             new_keys = definite_new.unionByName(confirmed_new)
         else:
@@ -434,12 +464,12 @@ class FrontierScheduler:
             "discovered_ts",
             F.lit(0).cast("int").alias("retries"),
         )
-        ingested.persist()  # reused by pending union AND url_seen delta
+        _p(ingested)  # reused by pending union AND url_seen delta
 
         pending_all = (
             ingested if fresh_start else pending_prev.unionByName(ingested)
         )
-        pending_all.persist()
+        _p(pending_all)
         tick("dedup+union pending", pending_all)
 
         # ---- 2. robots (SkipContainer analog) -----------------------------
@@ -485,7 +515,7 @@ class FrontierScheduler:
             eligible, budgets_dim, cfg.default_budget,
             salt=politeness_salt,
         )
-        ranked.persist()
+        _p(ranked)
         tick("robots+budget window", ranked)
         # keep rk: it is the per-host crawl-order rank, reused below for
         # crawl-delay pacing (planned_fetch_ts)
@@ -529,7 +559,7 @@ class FrontierScheduler:
             fetched = fetched.withColumn("_text", F.col("_h.extracted"))
         # drop page bodies IMMEDIATELY — nothing downstream shuffles html
         fetched = fetched.drop("html", "text", "page_canon", "_h")
-        fetched.persist()
+        _p(fetched)
         tick("fetch+extract", fetched)
 
         if os.environ.get("FRONTIER_EXPLAIN") == "1":
@@ -699,7 +729,7 @@ class FrontierScheduler:
             if cfg.ann_index:
                 stage_frame = ann_enrich(stage_frame, "_text")
             stage_frame = stage_frame.drop("_text")
-            stage_frame.persist()
+            _p(stage_frame)
 
         if cfg.enrich_pages:
             # training-data stage over this cycle's fetched corpus: the SAME
@@ -715,9 +745,9 @@ class FrontierScheduler:
             # unpersisted frame would re-run the whole shingle-explode +
             # signature pipeline per consumer (measured: the dominant cost
             # of a stage-stack bench cycle).
-            nd_bands_full = band_keys(
+            nd_bands_full = _p(band_keys(
                 done.select("url_hash", "_text"), "url_hash", "_text"
-            ).persist()
+            ))
             pstats = nd_group_join(
                 stage_frame, nd_bands_full, "url_hash"
             ).select(*schemas.PAGE_STATS.fieldNames())
@@ -757,12 +787,9 @@ class FrontierScheduler:
                 # multi-closure union-find golden).
                 from .graph import connected_components_star
 
-                prev_closure = None
-                for c in range(cycle - 1, 0, -1):
-                    m = io.manifest(c)
-                    if m and "nd_buckets" in m.get("tables", {}):
-                        prev_closure = c
-                        break
+                prev_closure = io.latest_table_cycle(
+                    "nd_components", cycle - 1
+                )
                 if prev_closure is None:
                     delta_bands = io.read_appended(
                         spark, "nd_bands", cycle - 1, schemas.ND_BANDS
@@ -790,9 +817,17 @@ class FrontierScheduler:
                         spark, "nd_bands", prev_closure + 1, cycle - 1,
                         schemas.ND_BANDS,
                     ).unionByName(nd_bands_delta)
-                    prev_buckets = io.read_cycle(
-                        spark, "nd_buckets", prev_closure,
-                        schemas.ND_BUCKETS,
+                    # nd_buckets is delta-committed (touched buckets only);
+                    # the as-of view min-merges base + deltas. g only ever
+                    # decreases across closures, so min over all deltas ==
+                    # the latest closure's value for every bucket.
+                    prev_buckets = (
+                        io.read_appended(
+                            spark, "nd_buckets", prev_closure,
+                            schemas.ND_BUCKETS,
+                        )
+                        .groupBy("band", "bkey")
+                        .agg(F.min("g").alias("g"))
                     )
                     prev_comp = io.read_cycle(
                         spark, "nd_components", prev_closure,
@@ -818,7 +853,7 @@ class FrontierScheduler:
                     )
                     meta_nd_mode = "incremental"
 
-                delta_bands.persist()  # consumed by newg, edges, count
+                _p(delta_bands)  # consumed by newg, edges, count
                 newg = delta_bands.groupBy("band", "bkey").agg(
                     F.min("_id").alias("ng")
                 )
@@ -837,7 +872,7 @@ class FrontierScheduler:
                         "pg",
                     )
                 )
-                merged.persist()
+                _p(merged)
                 edges = (
                     # delta docs -> merged bucket min
                     delta_bands.join(
@@ -864,23 +899,28 @@ class FrontierScheduler:
                     ).coalesce(8),
                     None,
                 )
-                tables["nd_buckets"] = (
-                    merged.select("band", "bkey", "g").coalesce(8),
-                    None,
-                )
+                # TOUCHED buckets only (round-5 verdict #3): a bucket with
+                # no delta band row this closure kept g == pg, so omitting
+                # it loses nothing — the next closure's min-merge read (and
+                # the nd_buckets_base compaction) reconstruct the full
+                # view. This keeps the closure's WRITE O(delta) to match
+                # its O(delta) compute; the old full rewrite was O(corpus)
+                # per closure (~N_BANDS rows per doc ever seen).
+                nd_buckets_delta = merged.where(
+                    F.col("ng").isNotNull()
+                ).select("band", "bkey", "g")
+                tables["nd_buckets"] = (nd_buckets_delta.coalesce(8), None)
                 meta_nd_rounds = nd_rounds
                 # closure-input bound for the manifest: incremental reads
                 # O(delta) band rows, never O(history) (tiny count — the
                 # frame is N_BANDS rows per delta doc)
                 meta_nd_input = delta_bands.count()
-                nd_closure_frames = (delta_bands, merged)
             else:
                 meta_nd_rounds = meta_nd_mode = meta_nd_input = None
-                nd_closure_frames = ()
+                nd_buckets_delta = None
         else:
             meta_nd_rounds = meta_nd_mode = meta_nd_input = None
-            nd_closure_frames = ()
-            nd_bands_full = None
+            nd_buckets_delta = None
 
         if cfg.ann_index:
             # ANN index over this cycle's fetched corpus: the SAME transform
@@ -893,19 +933,47 @@ class FrontierScheduler:
             from .corpus import ANN_IVF_K, N_HYPER
 
             aidx = stage_frame
+            meta_ann_qc = None
             if cfg.ann_index_mode == "ivf":
                 # trained coarse quantizer (round-4 verdict #4): seeded
                 # quantized-integer k-means over a deterministic md5
-                # sample of the cycle's docs; the 256-row centroid stats
-                # collect driver-side (probe-metadata-sized) and come
-                # back as a broadcast literal for the single full-corpus
-                # assignment pass. Stats are committed (ann_centroids)
-                # so probes can cell-route queries; golden vs ivf_py.
+                # sample of the docs; the 256-row centroid stats collect
+                # driver-side (probe-metadata-sized) and come back as a
+                # broadcast literal for the single full-corpus assignment
+                # pass. The quantizer is PINNED: trained ONCE at the first
+                # IVF build and reused verbatim by every later cycle, so
+                # cell ids are comparable across cycles and the per-cycle
+                # deltas consolidate into one whole-corpus index
+                # (ann_index_base below). Stats are re-committed each
+                # cycle (256 tiny rows) so "the quantizer in force at
+                # cycle k" is always read_cycle(ann_centroids, k); the
+                # manifest's ann_quantizer_cycle meta records which cycle
+                # trained them. Golden vs ivf_py.
                 from .corpus import ivf_assign_cells, ivf_train_collect
 
-                cent_rows = ivf_train_collect(
-                    aidx, "url_hash", sample_hex=cfg.ann_ivf_sample_hex
-                )
+                prev_cent = io.latest_table_cycle("ann_centroids", cycle - 1)
+                cent_rows: list = []
+                if prev_cent is not None:
+                    cent_rows = sorted(
+                        (r["k"], r["d"], r["s"], r["n"])
+                        for r in io.read_cycle(
+                            spark, "ann_centroids", prev_cent,
+                            schemas.ANN_CENTROIDS,
+                        ).collect()
+                    )
+                    pm = io.manifest(prev_cent) or {}
+                    meta_ann_qc = pm.get("meta", {}).get(
+                        "ann_quantizer_cycle", prev_cent
+                    )
+                if not cent_rows:
+                    # first IVF build — or a degenerate pinned build that
+                    # trained on an EMPTY first corpus (empty stats would
+                    # drop every doc through the inner assignment join
+                    # forever): (re)train here and pin from this cycle on
+                    cent_rows = ivf_train_collect(
+                        aidx, "url_hash", sample_hex=cfg.ann_ivf_sample_hex
+                    )
+                    meta_ann_qc = cycle
                 aidx = ivf_assign_cells(spark, aidx, "url_hash", cent_rows)
                 tables["ann_centroids"] = (
                     spark.createDataFrame(
@@ -916,11 +984,18 @@ class FrontierScheduler:
                 n_cells = ANN_IVF_K
             else:
                 n_cells = 1 << N_HYPER
-            aidx = aidx.select(*schemas.ANN_INDEX.fieldNames())
+            ann_index_delta = aidx.select(*schemas.ANN_INDEX.fieldNames())
             tables["ann_index"] = (
-                aidx.repartition(n_cells, "cell"),
+                ann_index_delta.repartition(
+                    n_cells * ANN_WRITE_SALT,
+                    "cell",
+                    F.pmod(F.col("url_hash"), F.lit(ANN_WRITE_SALT)),
+                ),
                 ["cell"],
             )
+        else:
+            ann_index_delta = None
+            meta_ann_qc = None
 
         if cfg.host_rank_every:
             # host link-graph edges, harvested HERE because ingest already
@@ -962,6 +1037,12 @@ class FrontierScheduler:
             meta["nd_rounds"] = meta_nd_rounds
             meta["nd_mode"] = meta_nd_mode
             meta["nd_input_bands"] = meta_nd_input
+        if meta_ann_qc is not None:
+            # which cycle TRAINED the IVF quantizer in force this cycle —
+            # pins (engine golden) that cycles after the first reuse the
+            # pinned centroids instead of retraining, the property that
+            # makes cell ids comparable across cycles
+            meta["ann_quantizer_cycle"] = meta_ann_qc
         if cfg.auto_salt:
             meta["auto_salt"] = salt_factor  # observability + test hook
             # hottest-host share of this cycle's eligible frontier: feeds
@@ -1014,6 +1095,45 @@ class FrontierScheduler:
                     spark, "nd_bands", cycle - 1, schemas.ND_BANDS
                 ).unionByName(nd_bands_delta)
                 tables["nd_bands_base"] = (full_bands.coalesce(8), None)
+            if cfg.enrich_pages and cfg.nd_closure_every:
+                # nd_buckets is committed as touched-only deltas (the
+                # closure's I/O matches its O(delta) compute); the read
+                # path min-merges deltas per bucket, so the base is that
+                # merged view — g only ever decreases, so min over all
+                # deltas == the latest delta's value for every bucket.
+                nb = io.read_appended(
+                    spark, "nd_buckets", cycle - 1, schemas.ND_BUCKETS
+                )
+                if nd_buckets_delta is not None:
+                    nb = nb.unionByName(nd_buckets_delta)
+                tables["nd_buckets_base"] = (
+                    nb.groupBy("band", "bkey")
+                    .agg(F.min("g").alias("g"))
+                    .coalesce(8),
+                    None,
+                )
+            if cfg.ann_index and ann_index_delta is not None:
+                # whole-corpus ANN consolidation (round-5 verdict #1): the
+                # per-cycle ann_index deltas fold into ONE cell-partitioned
+                # base on the same cadence, so a whole-corpus similarity
+                # probe reads O(1) dirs x nprobe cells instead of O(cycles)
+                # delta dirs. Cell ids are comparable across cycles by
+                # construction (LSH cells are data-independent; IVF cells
+                # come from the pinned quantizer above). Pure layout
+                # change: the base is the exact union the read path would
+                # have produced — recrawled URLs keep one row per fetch
+                # (an index of fetches, like every append table here).
+                full_idx = io.read_appended(
+                    spark, "ann_index", cycle - 1, schemas.ANN_INDEX
+                ).unionByName(ann_index_delta)
+                tables["ann_index_base"] = (
+                    full_idx.repartition(
+                        n_cells * ANN_WRITE_SALT,
+                        "cell",
+                        F.pmod(F.col("url_hash"), F.lit(ANN_WRITE_SALT)),
+                    ),
+                    ["cell"],
+                )
 
         tick("plan outputs")
         # the lineage write goes FIRST, sequentially: its plan traverses every
@@ -1057,12 +1177,7 @@ class FrontierScheduler:
         n_sched = sum(r["enqueued"] for r in lin_rows)
         tick("read lineage")
 
-        for df in (cand, ingested, pending_all, ranked, fetched,
-                   nd_bands_full, stage_frame, tested_frame,
-                   *nd_closure_frames):
-            if df is not None:
-                df.unpersist()
-
+        # persisted frames are unpersisted by run_cycle's finally (tracked)
         return CycleResult(
             cycle=cycle,
             scheduled_rows=n_sched,

@@ -152,6 +152,17 @@ class TableIO:
 
     # ---- reads ----------------------------------------------------------
 
+    def latest_table_cycle(self, name: str, through_cycle: int) -> int | None:
+        """Most recent cycle <= through_cycle whose manifest committed
+        table ``name`` (None if never committed). Metadata walk only —
+        used e.g. to locate the pinned ANN quantizer (ann_centroids) or
+        the last near-dup closure (nd_components)."""
+        for c in range(through_cycle, 0, -1):
+            m = self.manifest(c)
+            if m and name in m["tables"]:
+                return c
+        return None
+
     def _empty(self, spark, schema):
         return spark.createDataFrame([], schema)
 

@@ -145,12 +145,18 @@ def test_ann_corpus_topk_matches_python_recompute(spark):
     assert len(got) > 0
 
     eng = _entry_engine(spark)
+    last = eng.io.latest_cycle()
+    assert last >= 2  # whole-corpus: the snapshot spans multiple cycles
+    assert "ann_index_base" in eng.io.manifest(2)["tables"]
     rows = [
         (r["url_hash"], r["cell"], list(r["emb"]))
-        for r in eng.io.read_cycle(
-            spark, "ann_index", 1, schemas.ANN_INDEX
+        for r in eng.io.read_appended(
+            spark, "ann_index", last, schemas.ANN_INDEX
         ).collect()
     ]
+    # non-vacuity: the corpus genuinely spans cycles (cycle 1 alone is less)
+    c1_n = eng.io.read_cycle(spark, "ann_index", 1, schemas.ANN_INDEX).count()
+    assert 0 < c1_n < len(rows)
     base = [
         (h, c, e, math.sqrt(sum(x * x for x in e)))
         for h, c, e in rows
@@ -200,8 +206,8 @@ def test_ann_corpus_multiprobe_matches_python_recompute(spark):
     eng = _entry_engine(spark)
     rows = [
         (r["url_hash"], r["cell"], list(r["emb"]))
-        for r in eng.io.read_cycle(
-            spark, "ann_index", 1, schemas.ANN_INDEX
+        for r in eng.io.read_appended(
+            spark, "ann_index", eng.io.latest_cycle(), schemas.ANN_INDEX
         ).collect()
     ]
     base = [

@@ -896,14 +896,35 @@ def test_nd_closure_incremental_matches_full_recompute(
     want = {v: comp_min[find(v)] for v in verts}
     assert got == want
 
-    # nd_buckets reps equal the true per-bucket minimum over all history
-    reps = {
-        (r["band"], r["bkey"]): r["g"]
+    # nd_buckets is DELTA-committed (touched buckets only, round-5 verdict
+    # #3): the min-merged as-of view over all closure deltas must equal the
+    # true per-bucket minimum over all history...
+    from pyspark.sql import functions as F
+
+    merged_view = (
+        eng.io.read_appended(spark, "nd_buckets", 3, schemas.ND_BUCKETS)
+        .groupBy("band", "bkey")
+        .agg(F.min("g").alias("g"))
+        .collect()
+    )
+    reps = {(r["band"], r["bkey"]): r["g"] for r in merged_view}
+    assert reps == {k: min(ids) for k, ids in buckets.items()}
+    # ...while each closure's WRITE tracks its delta: cycle 3's dir holds
+    # only buckets touched by cycle 3's band rows, strictly fewer than the
+    # full bucket set (the old O(corpus) rewrite)
+    delta3_buckets = eng.io.read_cycle(
+        spark, "nd_buckets", 3, schemas.ND_BUCKETS
+    ).collect()
+    touched3 = {
+        (r["band"], r["bkey"])
         for r in eng.io.read_cycle(
-            spark, "nd_buckets", 3, schemas.ND_BUCKETS
+            spark, "nd_bands", 3, schemas.ND_BANDS
         ).collect()
     }
-    assert reps == {k: min(ids) for k, ids in buckets.items()}
+    assert {(r["band"], r["bkey"]) for r in delta3_buckets} == touched3
+    assert len(delta3_buckets) < len(buckets)
+    for r in delta3_buckets:  # delta rows carry the MERGED min, not new-only
+        assert r["g"] == reps[(r["band"], r["bkey"])]
 
 
 def test_ann_index_trained_ivf_golden(
@@ -1104,3 +1125,131 @@ def test_null_text_page_degrades_to_miss_not_lost(
     assert not [r for r in resolved if r["state"] == "done"]
     lost = sched - retried - errored
     assert not lost, f"{len(lost)} scheduled URLs vanished (NULL-ok leak)"
+
+
+def test_ann_index_consolidated_whole_corpus_golden(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """Round-5 verdict #1 — the consolidated whole-corpus ANN index.
+
+    Three pinned properties over a 3-cycle IVF run with compact_every=2:
+
+    1. PINNED QUANTIZER: the first build trains ann_centroids; every later
+       cycle REUSES those stats verbatim (manifest ann_quantizer_cycle = 1,
+       identical centroid rows each cycle), so cell ids are comparable
+       across cycles. Every cycle's committed cells must equal routing each
+       row's emb through the PINNED stats (ivf_route_py, nprobe=1).
+    2. CONSOLIDATION IS THE EXACT UNION: cycle 2 (compact) commits
+       ann_index_base; the as-of read at cycle 3 (base@2 + delta@3) must
+       equal the plain union of the three per-cycle deltas row-for-row.
+    3. WHOLE-CORPUS PROBE: ivf_probe_topk(whole_corpus=True) at cycle 3
+       must equal a pure-Python exact cosine top-k over ALL cycles' rows
+       restricted to the routed cells, and its scan must stay partition-
+       pruned (PartitionFilters on cell) with TakeOrderedAndProject.
+
+    Plus the salted index write: a cell's directory may hold multiple part
+    files (hot cells spread over ANN_WRITE_SALT tasks — round-5 verdict #4).
+    """
+    import dataclasses
+    import math
+
+    from pyspark.sql import functions as F
+
+    from frontier_engine import schemas
+    from frontier_engine.corpus import ivf_probe_topk, ivf_route_py
+    from frontier_engine.scheduler import ANN_WRITE_SALT
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix),
+        ann_index=True,
+        ann_index_mode="ivf",
+        compact_every=2,
+    )
+    work = str(tmp_path_factory.mktemp("engine-ann-consolidated"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=3)
+
+    # -- 1. pinned quantizer ---------------------------------------------
+    cent_by_cycle = {}
+    for c in (1, 2, 3):
+        assert eng.io.manifest(c)["meta"]["ann_quantizer_cycle"] == 1
+        cent_by_cycle[c] = sorted(
+            (r["k"], r["d"], r["s"], r["n"])
+            for r in eng.io.read_cycle(
+                spark, "ann_centroids", c, schemas.ANN_CENTROIDS
+            ).collect()
+        )
+    assert cent_by_cycle[1] == cent_by_cycle[2] == cent_by_cycle[3]
+    pinned = cent_by_cycle[1]
+
+    deltas = {
+        c: eng.io.read_cycle(
+            spark, "ann_index", c, schemas.ANN_INDEX
+        ).collect()
+        for c in (1, 2, 3)
+    }
+    assert all(len(v) > 0 for v in deltas.values())
+    for c, rows in deltas.items():
+        for r in rows[:25]:
+            assert ivf_route_py(pinned, list(r["emb"]), nprobe=1) == [
+                r["cell"]
+            ], (c, r["url_hash"])
+
+    # -- 2. consolidation = exact union ------------------------------------
+    assert "ann_index_base" in eng.io.manifest(2)["tables"]
+    all_rows = {r["url_hash"]: r for c in (1, 2, 3) for r in deltas[c]}
+    asof = eng.io.read_appended(
+        spark, "ann_index", 3, schemas.ANN_INDEX
+    ).collect()
+    assert len(asof) == sum(len(v) for v in deltas.values())
+    for r in asof:
+        w = all_rows[r["url_hash"]]
+        assert (r["cell"], list(r["emb"])) == (w["cell"], list(w["emb"]))
+
+    # -- salted write: some cell dir holds >1 part file --------------------
+    assert ANN_WRITE_SALT > 1
+    base_dir = os.path.join(eng.io.root, eng.io.manifest(2)["tables"]["ann_index_base"])
+    multi = 0
+    for cell_dir in os.listdir(base_dir):
+        if not cell_dir.startswith("cell="):
+            continue
+        parts = [
+            n
+            for n in os.listdir(os.path.join(base_dir, cell_dir))
+            if n.endswith(".parquet")
+        ]
+        multi = max(multi, len(parts))
+    assert multi > 1, "hot cells should spread over multiple files"
+
+    # -- 3. whole-corpus probe ---------------------------------------------
+    qrow = min(
+        (r for r in deltas[3] if any(r["emb"])), key=lambda r: r["url_hash"]
+    )
+    qemb = list(qrow["emb"])
+    route = ivf_route_py(pinned, qemb, nprobe=2)
+    got = ivf_probe_topk(
+        spark, eng.io, 3, qemb, topk=5, nprobe=2, whole_corpus=True
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "TakeOrderedAndProject" in plan
+    got_rows = [(r["url_hash"], r["cos_sim"]) for r in got.collect()]
+
+    qn = math.sqrt(sum(x * x for x in qemb))
+    want = []
+    for r in all_rows.values():
+        if r["cell"] not in route:
+            continue
+        nrm = math.sqrt(sum(x * x for x in r["emb"]))
+        if nrm == 0:
+            continue
+        dot = sum(a * b for a, b in zip(r["emb"], qemb))
+        want.append((r["url_hash"], round(dot / (nrm * qn), 6)))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    assert got_rows == want[:5]
+    # the whole-corpus probe saw docs from EVERY cycle's delta, not cycle 3
+    probed_ids = {u for u, _s in want}
+    for c in (1, 2, 3):
+        assert probed_ids & {r["url_hash"] for r in deltas[c]} or all(
+            r["cell"] not in route for r in deltas[c]
+        )
