@@ -12,7 +12,10 @@ agree byte-for-byte — pinned by tests):
    parseable — anything else raises ValueError and is dropped at ingest
    (relative hrefs, mailto:/javascript:, bad ports)
 1. scheme lowercased
-2. host lowercased (IPv6 hosts re-bracketed); userinfo preserved verbatim
+2. host lowercased; non-ASCII (IDN) hosts encoded to punycode via IDNA
+   2003 — the unicode and xn-- spellings of a host are ONE identity —
+   with invalid IDN labels dropped (rule 0); IPv6 hosts re-bracketed;
+   userinfo preserved verbatim
 3. default ports dropped (http:80, https:443); other ports kept
 4. fragment removed
 5. path: percent-normalization (rule 7) then RFC 3986 ``remove_dot_segments``;
@@ -113,6 +116,22 @@ def canonicalize(url: str) -> str:
     host = parts.hostname or ""
     if not host:
         raise ValueError("empty host")
+    if not host.isascii():
+        # IDN normalization: a unicode host and its punycode spelling are
+        # the SAME logical host — without this, http://пример.рф/ and
+        # http://xn--e1afmkfd.xn--p1ai/ canonicalized to different
+        # url_hash identities, silently splitting url_seen membership,
+        # politeness budgets, and host rank for one real host. Python's
+        # idna codec (IDNA 2003 + nameprep) encodes each label; invalid
+        # IDN labels raise -> the fetchability drop path, like any other
+        # malformed href. Applied ONLY to non-ASCII hosts: an ASCII host
+        # is already in canonical form, and the codec's stricter label
+        # rules (length caps, hyphen placement) must not reject ASCII
+        # hosts the engine has always accepted.
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError as e:
+            raise ValueError(f"invalid IDN host: {host!r}") from e
     if ":" in host:  # IPv6 literal — urlsplit strips the brackets
         host = "[" + host + "]"
     userinfo = ""

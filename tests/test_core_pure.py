@@ -35,9 +35,11 @@ def test_canonicalize_spec():
     assert f("http://h.com/100%") == "http://h.com/100%"  # malformed escape kept
     assert host_of("https://u@h.com:8080/x") == "h.com:8080"
     assert path_of("https://h.com/p/1?a=2") == "/p/1"
-    # unicode hosts/paths survive (reference's unicode container tests)
+    # unicode PATHS survive verbatim; unicode HOSTS normalize to punycode
+    # (IDNA — spec rule 2; the reference's unicode container tests are the
+    # analog of accepting non-ASCII identifiers at all)
     assert f("https://BÜcher.example/straße?b=2&a=1") == (
-        "https://bücher.example/straße?a=1&b=2"
+        "https://xn--bcher-kva.example/straße?a=1&b=2"
     )
     assert f("https://h.com/日本語/p?x=café") == "https://h.com/日本語/p?x=café"
     # idempotent
@@ -199,3 +201,59 @@ def test_fixture_cache_fingerprint(tmp_path):
 
     # skew=True hashes a different probe corpus
     assert generator_fingerprint(True) != fp
+
+
+def test_idn_host_one_identity_end_to_end():
+    """Unicode-host fixture (round-5 verdict missing #2): the unicode and
+    punycode spellings of one IDN host must flow through the refspec crawl
+    as ONE identity — one url_seen entry, one scheduled fetch, the other
+    spelling counted as a dedup — and the politeness budget must see ONE
+    host. The Spark engine shares the same canonicalize() (pinned
+    byte-identical by test_canon_properties), so this pins the crawl-level
+    consequence once."""
+    from frontier_engine.config import EngineConfig
+    from frontier_engine.extract import ref_extract
+    from frontier_engine.fixtures import T0
+    from frontier_engine.refspec import run
+
+    html = b"<html><p>hello idn</p></html>"
+    pages = [
+        {
+            "url": "http://xn--e1afmkfd.xn--p1ai/a",
+            "warc_ts": T0,
+            "html": html,
+            "text": ref_extract(html),
+        },
+        {
+            # same page reachable under a second path, seeded in unicode
+            "url": "http://пример.рф/b",
+            "warc_ts": T0,
+            "html": html,
+            "text": ref_extract(html),
+        },
+    ]
+    seeds = [
+        {"url": "http://пример.рф/a", "priority": 100},      # unicode
+        {"url": "http://xn--e1afmkfd.xn--p1ai/a", "priority": 90},  # puny
+        {"url": "http://XN--E1AFMKFD.XN--P1AI/b", "priority": 80},  # case
+    ]
+    cfg = EngineConfig(n_buckets=4, default_budget=1, retry_limit=0)
+    res = run(pages, seeds, [], cfg, cycles=2)
+
+    # /a admitted once (the punycode duplicate deduped), /b admitted once
+    assert len(res.seen) == 2
+    lin1 = res.lineage[1]
+    assert sum(d["deduped"] for d in lin1.values()) == 1
+    # budget=1 for the ONE merged host: exactly one scheduled row in cycle
+    # 1 (were the spellings two hosts, both /a and /b would schedule)
+    sched1 = [t for rows in res.scheduled[1].values() for t in rows]
+    assert len(sched1) == 1
+    assert sched1[0][0] == "http://xn--e1afmkfd.xn--p1ai/a"  # max priority
+    assert sched1[0][2] == "xn--e1afmkfd.xn--p1ai"  # ONE canonical host
+    # /b drains in cycle 2 under the same single-host budget
+    sched2 = [t for rows in res.scheduled[2].values() for t in rows]
+    assert [t[0] for t in sched2] == ["http://xn--e1afmkfd.xn--p1ai/b"]
+    # both fetched OK (the punycode-keyed page lookup serves the unicode
+    # seed — byte-identical extraction)
+    assert set(res.resolved.values()) == {"done"}
+    assert len(res.resolved) == 2
