@@ -260,8 +260,11 @@ def ensure_fixtures(base_dir: str, n_urls: int, skew: bool = False) -> str:
     marker records the generator fingerprint; a mismatch regenerates the
     whole dir (including any bucketed pages_canon prepared inside it —
     it derives from the same pages and would be stale too). Legacy 'ok'
-    markers are upgraded in place: every such cache predates the
-    fingerprint and was built by the then-current generator."""
+    markers (pre-fingerprint caches) are REGENERATED, not stamped: blessing
+    an unverified old cache under the current fingerprint would be sound
+    only while generation stays byte-identical — the first change that
+    both alters generation and meets a legacy cache would silently serve
+    stale parquet forever. One-time regeneration cost buys that safety."""
     import shutil
 
     tag = f"n{n_urls}" + ("-skew" if skew else "")
@@ -271,10 +274,6 @@ def ensure_fixtures(base_dir: str, n_urls: int, skew: bool = False) -> str:
     if os.path.exists(marker):
         with open(marker) as f:
             prev = f.read().strip()
-        if prev == "ok":  # legacy marker — one-time upgrade
-            with open(marker, "w") as f:
-                f.write(fp + "\n")
-            return out
         if prev == fp:
             return out
         shutil.rmtree(out)  # generator changed: cache (and any

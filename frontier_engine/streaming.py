@@ -73,12 +73,44 @@ def fold_sessions(ts, state, gap_us):
     late-event semantics are unit-testable outside a streaming query.
 
     ts is sorted within a batch, but a LATE event in a later micro-batch
-    can land before the carried state's bounds; clamp instead of
-    assigning, or the open session's end regresses (falsely splitting it
-    at the next event) and its start drifts forward."""
+    can land before the carried state's bounds. Three cases:
+    - t within [start, last]: joins the open session (n += 1);
+    - start - gap_us <= t < start: extends the open session's start
+      backwards (gap semantics WOULD have merged them — the distance to
+      the session is <= gap);
+    - t < start - gap_us: a separate EARLIER session. Event-time gap
+      semantics would never merge it into the open session, so folding it
+      in (the old clamp) under-counted sessions and stretched the open
+      session's span. Such events are folded among THEMSELVES (a run of
+      late events within gap of each other is ONE earlier session) and
+      closed immediately — by construction none of them can merge with
+      the open session. Exactness bound: like any gap-based streaming
+      sessionizer, events arriving after their session was already CLOSED
+      and emitted (beyond the retained open state) cannot reopen it."""
     start, last, n = state if state is not None else (None, 0, 0)
     closed = []
-    for t in ts:
+    i = 0
+    if start is not None:
+        ps = pl = None
+        pn = 0
+        while i < len(ts) and start - ts[i] > gap_us:
+            t = ts[i]
+            if ps is None:
+                ps = pl = t
+                pn = 1
+            elif t - pl > gap_us:
+                closed.append((ps, pl, pn))
+                ps = pl = t
+                pn = 1
+            else:
+                pl = t
+                pn += 1
+            i += 1
+        if ps is not None:
+            # the while-condition guarantees start - pl > gap_us: the last
+            # early session can never merge with the open one
+            closed.append((ps, pl, pn))
+    for t in ts[i:]:
         if start is None:
             start = last = t
             n = 1

@@ -165,9 +165,9 @@ def test_refspec_importable_without_pyspark():
 
 def test_fixture_cache_fingerprint(tmp_path):
     """ensure_fixtures regenerates exactly when generation behavior changes:
-    fresh builds record the generator fingerprint, legacy 'ok' markers are
-    upgraded in place without a rebuild, and a mismatched fingerprint
-    (simulating an edited generator) wipes and regenerates the dir."""
+    fresh builds record the generator fingerprint; a legacy 'ok' marker
+    (pre-fingerprint cache of unverifiable provenance) and a mismatched
+    fingerprint (an edited generator) both wipe and regenerate the dir."""
     import os
 
     from frontier_engine.fixtures import ensure_fixtures, generator_fingerprint
@@ -180,13 +180,15 @@ def test_fixture_cache_fingerprint(tmp_path):
     pages = os.path.join(d, "pages.parquet")
     mtime = os.path.getmtime(pages)
 
-    # legacy marker: upgraded, NOT regenerated (those caches were built by
-    # the then-current generator)
+    # legacy marker: REGENERATED, not blessed in place — stamping the
+    # current fingerprint onto an unverified old cache would silently
+    # serve stale parquet the first time generation actually changes
     with open(marker, "w") as f:
         f.write("ok\n")
     assert ensure_fixtures(base, 250) == d
     assert open(marker).read().strip() == fp
-    assert os.path.getmtime(pages) == mtime
+    assert os.path.getmtime(pages) != mtime
+    mtime = os.path.getmtime(pages)
 
     # stale fingerprint: the whole dir (incl. a derived artifact standing
     # in for a prepared pages_canon) is wiped and rebuilt

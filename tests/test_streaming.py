@@ -183,3 +183,36 @@ def test_fold_sessions_late_event_clamps_state():
     closed, st = fold_sessions([t5], st, gap)
     assert closed == [(9 * H - 30 * 1_000_000, t4, 5)]
     assert st == (t5, t5, 1)
+
+
+def test_fold_sessions_very_late_event_is_own_earlier_session():
+    """A late event older than start - gap must NOT merge into the open
+    session (event-time gap semantics would treat it as a separate earlier
+    session): it is emitted closed immediately, and a RUN of such events
+    within gap of each other folds into ONE earlier session. The open
+    session is untouched in both cases."""
+    from frontier_engine.streaming import fold_sessions
+
+    H = 3600 * 1_000_000
+    gap = H
+
+    # open session (9h, 10h, 2)
+    closed, st = fold_sessions([9 * H, 10 * H], None, gap)
+    assert closed == [] and st == (9 * H, 10 * H, 2)
+
+    # one very-late event at 06:00 (> 1h before 09:00): its own session
+    closed, st = fold_sessions([6 * H], st, gap)
+    assert closed == [(6 * H, 6 * H, 1)]
+    assert st == (9 * H, 10 * H, 2)  # open session untouched
+
+    # a run of very-late events 04:00, 04:30, 05:00 = ONE earlier session;
+    # 08:30 (within gap of start) still merges backwards into the open one
+    ts = [4 * H, 4 * H + H // 2, 5 * H, 8 * H + H // 2]
+    closed, st = fold_sessions(ts, st, gap)
+    assert closed == [(4 * H, 5 * H, 3)]
+    assert st == (8 * H + H // 2, 10 * H, 3)
+
+    # two very-late CLUSTERS separated by more than gap = two sessions
+    closed, st = fold_sessions([1 * H, 3 * H], st, gap)
+    assert closed == [(1 * H, 1 * H, 1), (3 * H, 3 * H, 1)]
+    assert st == (8 * H + H // 2, 10 * H, 3)
