@@ -170,6 +170,17 @@ def path_of(url_canon: str) -> str:
     return urlsplit(url_canon).path or "/"
 
 
+def path_query_of(url_canon: str) -> str:
+    """Path plus optional ``?query`` of an already-canonical URL — the RFC
+    9309 rule-match target (§2.2.2 matches rules against the URI with
+    scheme/authority/fragment removed, i.e. path AND query; the RFC
+    authors' reference implementation extracts exactly this). Fragments
+    were already removed at canonicalization."""
+    parts = urlsplit(url_canon)
+    p = parts.path or "/"
+    return p + ("?" + parts.query if parts.query else "")
+
+
 # ---------------------------------------------------------------------------
 # Vectorized batch form: a C-speed pandas fast path for the overwhelmingly
 # common simple-URL shapes, pure-Python spec fallback for the rest.

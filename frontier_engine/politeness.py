@@ -40,7 +40,9 @@ def apply_robots(
     (allow, disallow) rule arrays: the MOST SPECIFIC (longest) matching
     rule wins and allow wins length ties, with full §2.2.3 wildcard
     support — ``*`` matches any character sequence and a trailing ``$``
-    anchors the end of the path. Rules are translated to anchored Java
+    anchors the end of the match target, which per §2.2.2 is the URI's
+    path PLUS query (scheme/authority/fragment stripped) — rules like
+    ``/*sessionid`` target query params. Rules are translated to anchored Java
     regexes ON THE RULE-DIM SIDE (robots is host-cardinality — never
     collected driver-side) with built-in string functions, mirroring
     robots_rfc.rule_regex exactly (parity pinned by the wildcard golden);
@@ -109,8 +111,24 @@ def apply_robots(
         no_scheme.startswith("//"),
         F.regexp_replace(no_scheme, r"^//[^/?]*", ""),
     ).otherwise(no_scheme)
-    path = F.substring_index(no_auth, "?", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    if rfc:
+        # RFC 9309 §2.2.2 match target: path AND query (only scheme /
+        # authority / fragment are stripped — rules like "/*sessionid"
+        # exist to hit query params; the RFC authors' reference
+        # implementation extracts path+params+query). Fragments are gone
+        # at canonicalization. Mirrors refspec's path_query_of.
+        # degenerate spellings canonicalization never emits but raw test
+        # inputs can ("http://h" -> "", "http://h?a=1" -> "?a=1"): align
+        # with path_query_of, whose path component is never empty
+        path = F.when(no_auth == "", F.lit("/")).otherwise(
+            F.when(
+                no_auth.startswith("?"), F.concat(F.lit("/"), no_auth)
+            ).otherwise(no_auth)
+        )
+    else:
+        # prefix mode keeps the reference's path-only SkipContainer shape
+        path = F.substring_index(no_auth, "?", 1)
+        path = F.when(path == "", F.lit("/")).otherwise(path)
     joined = pending.join(
         F.broadcast(r) if small else r, "host", "left"
     ).withColumn("_path", path)

@@ -54,7 +54,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from datetime import timedelta
 
-from .canon import canonicalize, host_of, path_of
+from .canon import canonicalize, host_of, path_of, path_query_of
 from .config import EngineConfig
 from .extract import discover_links, ref_extract
 from .fixtures import T0
@@ -239,8 +239,12 @@ def run(
             if cfg.robots_rfc:
                 # RFC 9309: longest matching rule wins, allow wins ties;
                 # §2.2.3 wildcards ("*" any-sequence, trailing "$" end
-                # anchor) via the shared pyspark-free robots_rfc module
-                is_blocked = rfc_decide(p, dis, alw)
+                # anchor) via the shared pyspark-free robots_rfc module.
+                # The match TARGET is path+query (§2.2.2 strips only
+                # scheme/authority/fragment — rules like /*sessionid are
+                # designed to hit query params); prefix mode below keeps
+                # the reference's path-only SkipContainer shape.
+                is_blocked = rfc_decide(path_query_of(row.url_canon), dis, alw)
             else:
                 # empty rule (bare "Disallow:" = allow-all) is a no-match,
                 # matching the engine's length guard and rfc mode's

@@ -2,10 +2,13 @@
 
 RFC 9309 §2.2.3: inside an allow/disallow rule path, ``*`` matches any
 sequence of characters (including none) and a TRAILING ``$`` anchors the
-end of the URL path; a ``$`` anywhere else is a literal octet (the common
-parser behavior — the RFC reserves only the trailing position). Rule
-precedence (§2.2.2) is by octet count of the RULE string (wildcards count),
-allow winning length ties.
+end of the match target; a ``$`` anywhere else is a literal octet (the
+common parser behavior — the RFC reserves only the trailing position).
+Rule precedence (§2.2.2) is by octet count of the RULE string (wildcards
+count), allow winning length ties. The match TARGET callers pass as
+``path`` is the URI's path PLUS optional ``?query`` (§2.2.2 strips only
+scheme, authority and fragment; rules like ``/*sessionid`` exist to hit
+query params — canon.path_query_of builds it).
 
 Three consumers share these semantics: the refspec oracle (refspec.py, this
 module keeps it pyspark-free), the driver query's SQL-twin builder

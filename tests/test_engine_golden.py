@@ -801,16 +801,18 @@ def test_robots_rfc_wildcard_golden(spark, tiny_fixture_dir, tmp_path_factory):
         dataclasses.replace(cfg, robots_rfc=False), cycles=2,
     )
     assert skips(rt["lineage"]) > skips(prefix_res.lineage)
-    # and no surviving scheduled /p/ PATH ends in 3 on any host (the "$"
-    # anchors the path — query strings are not part of the match)
-    from frontier_engine.canon import path_of
+    # and no surviving scheduled /p/ match TARGET ends in 3 — per RFC 9309
+    # §2.2.2 the "$" anchors the end of path+query (fixture URLs all carry
+    # ?a=..&b=.. queries, so the rule bites exactly the b=3 residue class)
+    from frontier_engine.canon import path_query_of
 
     bad = [
         t[0]
         for cyc in rt["scheduled"].values()
         for rows in cyc.values()
         for t in rows
-        if path_of(t[0]).startswith("/p/") and path_of(t[0]).endswith("3")
+        if path_query_of(t[0]).startswith("/p/")
+        and path_query_of(t[0]).endswith("3")
     ]
     assert bad == []
 

@@ -180,3 +180,112 @@ def test_prefix_mode_empty_rule_is_no_match(spark):
     # the pure-Python dialects agree
     assert decide("/any/p", [""], []) is False
     assert any(d and "/any/p".startswith(d) for d in [""]) is False
+
+
+def test_raw_robots_txt_parse_to_decide_end_to_end(spark):
+    """Round-5 verdict #6: RAW robots.txt text — including §2.2.3 wildcard
+    rules like ``Disallow: /*.php$`` — flows parse -> decide in ONE Spark
+    pipeline: column-side line parsing (split / filter / transform, the
+    robots_parse shape, extended to Allow) feeds apply_robots(rfc=True)
+    directly, and every decision must equal the pure-Python parse +
+    robots_rfc.decide twin. Pins that the wildcard grammar is exercised by
+    PARSED-FROM-RAW rules end-to-end, not only by fixture rule arrays."""
+    from pyspark.sql import functions as F
+
+    from frontier_engine.politeness import apply_robots
+
+    raw_by_host = {
+        "a.example": (
+            "User-agent: *\n"
+            "Disallow: /*.php$\n"        # the verdict's wildcard rule
+            "Allow: /public*.php$\n"     # longer allow beats it under /public
+            "Disallow: /private/\n"
+            "Disallow: /*sessionid\n"    # query-targeting rule (RFC §2.2.2:
+            "# comment\n"                # the match target is path+query)
+            "Crawl-delay: 2\n"
+        ),
+        "b.example": (
+            "User-agent: *\n"
+            "Disallow:\n"                # bare rule = allow-all (no match)
+            "Disallow: /tmp*\n"
+            "Allow: /tmp/keep$\n"
+        ),
+        "c.example": "User-agent: *\n",  # no rules at all
+    }
+    paths = [
+        "/index.php", "/public/x.php", "/public.php", "/x.php?q=1",
+        "/private/p", "/privateer", "/tmp/anything", "/tmp/keep",
+        "/tmp/keeper", "/", "/safe.html", "/page?sessionid=9",
+    ]
+
+    robots_raw = spark.createDataFrame(
+        list(raw_by_host.items()), "host string, raw string"
+    )
+    lines = F.split(F.col("raw"), "\n")
+
+    def directive(prefix):
+        return F.transform(
+            F.filter(lines, lambda l: l.startswith(prefix)),
+            lambda l: F.substring(l, len(prefix) + 1, 100000),
+        )
+
+    # a bare "Disallow:" (no trailing space) also parses to the empty rule
+    bare_dis = F.when(
+        F.exists(lines, lambda l: l == "Disallow:"),
+        F.array(F.lit("")),
+    ).otherwise(F.array().cast("array<string>"))
+    robots = robots_raw.select(
+        "host",
+        F.concat(directive("Disallow: "), bare_dis).alias("disallow"),
+        directive("Allow: ").alias("allow"),
+    )
+
+    pending = spark.createDataFrame(
+        [
+            (h, f"http://{h}{p}", p)
+            for h in raw_by_host
+            for p in paths
+        ],
+        "host string, url_canon string, path string",
+    )
+    got = {
+        (r["host"], r["path"]): r["blocked"]
+        for r in apply_robots(pending, robots, rfc=True)
+        .select("host", "path", "blocked")
+        .collect()
+    }
+
+    # pure-Python twin: same parse, robots_rfc.decide
+    def py_parse(raw):
+        dis, alw = [], []
+        for line in raw.split("\n"):
+            if line.startswith("Disallow: "):
+                dis.append(line[len("Disallow: "):])
+            elif line == "Disallow:":
+                dis.append("")
+            elif line.startswith("Allow: "):
+                alw.append(line[len("Allow: "):])
+        return dis, alw
+
+    n_blocked = 0
+    for h, raw in raw_by_host.items():
+        dis, alw = py_parse(raw)
+        for p in paths:
+            want = decide(p, dis, alw)
+            assert got[(h, p)] == want, (h, p, dis, alw, want)
+            n_blocked += want
+    assert 0 < n_blocked < len(got)
+
+    # spot-pin the wildcard semantics themselves (not just parity):
+    assert got[("a.example", "/index.php")] is True      # /*.php$ blocks
+    # match target is path+QUERY (§2.2.2): the $ anchor sees the query,
+    # so /x.php?q=1 does not end in .php — unblocked...
+    assert got[("a.example", "/x.php?q=1")] is False
+    # ...and a query-targeting rule bites
+    assert got[("a.example", "/page?sessionid=9")] is True
+    assert got[("a.example", "/public/x.php")] is False  # longer allow wins
+    assert got[("a.example", "/privateer")] is False     # prefix needs /
+    assert got[("b.example", "/tmp/keep")] is False      # $-anchored allow
+    assert got[("b.example", "/tmp/keeper")] is True     # anchor holds
+    assert got[("b.example", "/safe.html")] is False     # bare rule inert
+    assert got[("c.example", "/index.php")] is False     # ruleless host
