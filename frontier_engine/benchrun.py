@@ -115,7 +115,11 @@ def run_once(
 
     _warmup(spark)
     t0 = time.time()
-    results = eng.run(cycles=cycles)
+    cycle_secs = []
+    for k in range(1, cycles + 1):
+        tc = time.time()
+        eng.run_cycle(k, build_filters=(k < cycles))
+        cycle_secs.append(round(time.time() - tc, 2))
     elapsed = time.time() - t0
 
     lin = io.read_appended(spark, "lineage", cycles, schemas.LINEAGE)
@@ -140,7 +144,19 @@ def run_once(
         "errors": int(agg["errors"]),
         "discovered": int(agg["discovered"]),
         "urls_per_sec": round(processed / elapsed, 1),
+        "cycle_secs": cycle_secs,
     }
+    # per-table write attribution from the manifests (tableio records the
+    # real write wall-clocks — each write materializes its stage under the
+    # warm ordering, so this is the per-stage cost breakdown, measured
+    # with zero extra actions). Summed across cycles per table.
+    tw: dict = {}
+    for k in range(1, cycles + 1):
+        m = io.manifest(k) or {}
+        for name, secs in m.get("write_secs", {}).items():
+            tw[name] = round(tw.get(name, 0.0) + secs, 2)
+    if tw:
+        out["table_write_secs"] = tw
     if keep_workdir is None:
         shutil.rmtree(workdir, ignore_errors=True)
     return out

@@ -94,6 +94,12 @@ class TableIO:
         from concurrent.futures import ThreadPoolExecutor
 
         entry: dict = {"cycle": cycle, "parent": cycle - 1, "tables": {}}
+        # per-table wall seconds, recorded in the manifest: the writes
+        # force their plans (with the warm ordering, each write carries
+        # its stage's materialization cost), so this is the machine-
+        # diffable per-stage attribution benchrun aggregates — measured
+        # from the real writes, no extra actions
+        entry["write_secs"] = {}
 
         _timing = os.environ.get("FRONTIER_TIMING") == "1"
 
@@ -102,6 +108,7 @@ class TableIO:
             rel = f"{name}/cycle={cycle}"
             t0 = time.time()
             self._write_df(df, rel, part)
+            entry["write_secs"][name] = round(time.time() - t0, 2)
             if _timing:
                 print(
                     f"    [commit {cycle}] {name}: {time.time() - t0:.1f}s",
