@@ -118,6 +118,17 @@ class EngineConfig:
     # ann_centroids table so probes can cell-route queries. Golden-checked
     # vs the pure-Python twin (corpus.ivf_py).
     ann_index_mode: str = "lsh"
+    # refresh the pinned IVF quantizer on the compact cadence (needs
+    # ann_index_mode="ivf" and compact_every > 0): at each compacting
+    # cycle the quantizer RETRAINS over the accumulated corpus (previous
+    # index rows + this cycle's docs, md5-sampled as usual) and the whole
+    # ann_index_base is RE-ASSIGNED with the new centroids as part of the
+    # compaction rewrite it was already paying for — so the index tracks
+    # corpus drift while cell ids stay consistent across every committed
+    # dir (base + later deltas all use the latest pinned stats). Off by
+    # default: train-once-pinned is cheaper and is exactly right when the
+    # corpus distribution is stable.
+    ann_retrain_on_compact: bool = False
     # training-sample keep fraction for "ivf" mode, in sixteenths: docs
     # whose md5(id) leading hex char < this train the quantizer (16 = all
     # docs — the fixture default; a 100-TB deployment sets 1-2 so Lloyd

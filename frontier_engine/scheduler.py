@@ -321,6 +321,9 @@ class FrontierScheduler:
             _t[0] = now
 
         fresh_start = io.manifest(cycle - 1) is None  # nothing committed yet
+        # does this cycle consolidate the accumulating tables? needed early:
+        # the ANN stage folds its quantizer retrain into the compaction
+        compact = cfg.compact_every > 0 and cycle % cfg.compact_every == 0
         pending_prev = io.read_cycle(
             spark, "pending", cycle - 1, schemas.PENDING
         )
@@ -934,6 +937,7 @@ class FrontierScheduler:
 
             aidx = stage_frame
             meta_ann_qc = None
+            retrain = False
             if cfg.ann_index_mode == "ivf":
                 # trained coarse quantizer (round-4 verdict #4): seeded
                 # quantized-integer k-means over a deterministic md5
@@ -951,9 +955,34 @@ class FrontierScheduler:
                 # trained them. Golden vs ivf_py.
                 from .corpus import ivf_assign_cells, ivf_train_collect
 
+                retrain = (
+                    cfg.ann_retrain_on_compact
+                    and compact
+                    and io.latest_table_cycle("ann_index", cycle - 1)
+                    is not None
+                )
                 prev_cent = io.latest_table_cycle("ann_centroids", cycle - 1)
                 cent_rows: list = []
-                if prev_cent is not None:
+                if retrain:
+                    # quantizer refresh folded into the compaction this
+                    # cycle already pays for: retrain over the ACCUMULATED
+                    # corpus (previous index rows + this cycle's docs) and
+                    # re-pin from here — the compact block below then
+                    # re-assigns the whole base with these stats, so every
+                    # committed dir (base@k + deltas>k) shares one cell
+                    # vocabulary
+                    ann_prev_idx = io.read_appended(
+                        spark, "ann_index", cycle - 1, schemas.ANN_INDEX
+                    )
+                    cent_rows = ivf_train_collect(
+                        ann_prev_idx.select("url_hash", "emb").unionByName(
+                            aidx.select("url_hash", "emb")
+                        ),
+                        "url_hash",
+                        sample_hex=cfg.ann_ivf_sample_hex,
+                    )
+                    meta_ann_qc = cycle
+                elif prev_cent is not None:
                     cent_rows = sorted(
                         (r["k"], r["d"], r["s"], r["n"])
                         for r in io.read_cycle(
@@ -993,8 +1022,22 @@ class FrontierScheduler:
                 ),
                 ["cell"],
             )
+            if retrain:
+                # the accumulated rows re-assigned under the RETRAINED
+                # stats — the compact block writes these as the base, so
+                # cells are consistent across base@k and every later delta
+                ann_base_rows = (
+                    ivf_assign_cells(
+                        spark, ann_prev_idx, "url_hash", cent_rows
+                    )
+                    .select(*schemas.ANN_INDEX.fieldNames())
+                    .unionByName(ann_index_delta)
+                )
+            else:
+                ann_base_rows = None
         else:
             ann_index_delta = None
+            ann_base_rows = None
             meta_ann_qc = None
 
         if cfg.host_rank_every:
@@ -1058,7 +1101,6 @@ class FrontierScheduler:
             )
             meta["host_depth_max"] = int(depth["mx"] or 0)
             meta["host_depth_total"] = int(depth["tot"] or 0)
-        compact = cfg.compact_every > 0 and cycle % cfg.compact_every == 0
         if compact:
             full_seen = io.read_appended(
                 spark, "url_seen", cycle - 1, schemas.URL_SEEN
@@ -1123,9 +1165,17 @@ class FrontierScheduler:
                 # change: the base is the exact union the read path would
                 # have produced — recrawled URLs keep one row per fetch
                 # (an index of fetches, like every append table here).
-                full_idx = io.read_appended(
-                    spark, "ann_index", cycle - 1, schemas.ANN_INDEX
-                ).unionByName(ann_index_delta)
+                # with ann_retrain_on_compact, the base rows were already
+                # re-assigned under the freshly retrained quantizer (same
+                # url_hash/emb content — only cells differ, and every
+                # later delta uses the same new stats)
+                full_idx = (
+                    ann_base_rows
+                    if ann_base_rows is not None
+                    else io.read_appended(
+                        spark, "ann_index", cycle - 1, schemas.ANN_INDEX
+                    ).unionByName(ann_index_delta)
+                )
                 tables["ann_index_base"] = (
                     full_idx.repartition(
                         n_cells * ANN_WRITE_SALT,

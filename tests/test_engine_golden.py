@@ -1255,3 +1255,97 @@ def test_ann_index_consolidated_whole_corpus_golden(
         assert probed_ids & {r["url_hash"] for r in deltas[c]} or all(
             r["cell"] not in route for r in deltas[c]
         )
+
+
+def test_ann_quantizer_retrain_on_compact_golden(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """cfg.ann_retrain_on_compact — the quantizer-refresh variant of the
+    consolidated index: at each compacting cycle the IVF quantizer
+    RETRAINS over the accumulated corpus and the whole ann_index_base is
+    re-assigned under the new stats as part of the compaction rewrite.
+    Pins: (1) quantizer provenance — cycle 1 trains, the compacting cycle
+    2 retrains (ann_quantizer_cycle == 2), cycle 3 reuses the retrained
+    stats verbatim; (2) the retrain is non-vacuous (stats actually
+    change); (3) EVERY row of the as-of index at cycle 3 (re-assigned
+    base@2 + delta@3) carries the nearest-cell assignment under the
+    retrained stats (ivf_route_py twin); (4) content is preserved — the
+    as-of url_hash/emb set equals the plain union of the per-cycle
+    fetches; (5) the whole-corpus probe stays exact."""
+    import dataclasses
+    import math
+
+    from frontier_engine import schemas
+    from frontier_engine.corpus import ivf_probe_topk, ivf_route_py
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix),
+        ann_index=True,
+        ann_index_mode="ivf",
+        compact_every=2,
+        ann_retrain_on_compact=True,
+    )
+    work = str(tmp_path_factory.mktemp("engine-ann-retrain"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=3)
+
+    # (1) provenance
+    assert eng.io.manifest(1)["meta"]["ann_quantizer_cycle"] == 1
+    assert eng.io.manifest(2)["meta"]["ann_quantizer_cycle"] == 2
+    assert eng.io.manifest(3)["meta"]["ann_quantizer_cycle"] == 2
+
+    def cent(c):
+        return sorted(
+            (r["k"], r["d"], r["s"], r["n"])
+            for r in eng.io.read_cycle(
+                spark, "ann_centroids", c, schemas.ANN_CENTROIDS
+            ).collect()
+        )
+
+    # (2) retrain changed the stats; (cycle 3 reuses them verbatim)
+    assert cent(2) != cent(1)
+    assert cent(3) == cent(2)
+    retrained = cent(2)
+
+    # (3) every as-of row is assigned under the RETRAINED stats
+    asof = eng.io.read_appended(
+        spark, "ann_index", 3, schemas.ANN_INDEX
+    ).collect()
+    assert "ann_index_base" in eng.io.manifest(2)["tables"]
+    for r in asof:
+        assert ivf_route_py(retrained, list(r["emb"]), nprobe=1) == [
+            r["cell"]
+        ], r["url_hash"]
+
+    # (4) content preserved: re-assignment changed cells, never rows
+    deltas_flat = {}
+    for c in (1, 2, 3):
+        for r in eng.io.read_cycle(
+            spark, "ann_index", c, schemas.ANN_INDEX
+        ).collect():
+            deltas_flat[r["url_hash"]] = tuple(r["emb"])
+    assert {r["url_hash"]: tuple(r["emb"]) for r in asof} == deltas_flat
+
+    # (5) whole-corpus probe exactness under the retrained routing
+    qrow = min((r for r in asof if any(r["emb"])), key=lambda r: r["url_hash"])
+    qemb = list(qrow["emb"])
+    route = ivf_route_py(retrained, qemb, nprobe=2)
+    got = [
+        (r["url_hash"], r["cos_sim"])
+        for r in ivf_probe_topk(
+            spark, eng.io, 3, qemb, topk=5, nprobe=2, whole_corpus=True
+        ).collect()
+    ]
+    qn = math.sqrt(sum(x * x for x in qemb))
+    want = []
+    for r in asof:
+        if r["cell"] not in route:
+            continue
+        nrm = math.sqrt(sum(x * x for x in r["emb"]))
+        if nrm == 0:
+            continue
+        dot = sum(a * b for a, b in zip(r["emb"], qemb))
+        want.append((r["url_hash"], round(dot / (nrm * qn), 6)))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    assert got == want[:5]
