@@ -431,7 +431,14 @@ def ivf_assign_cells(
 ) -> DataFrame:
     """Replace ``cell`` with each row's nearest TRAINED cell, using the
     collected centroid stats as a plan-time literal dim (broadcast; one
-    corpus pass, no training recompute)."""
+    corpus pass, no training recompute).
+
+    Caveat: ``id_col`` is assumed unique within ``df``. Duplicate ids
+    (possible only when re-assigning an ACCUMULATED index under recrawl
+    TTL, where one url_hash carries a row per fetch) share one assignment
+    computed over their combined dims — deterministic, but not per-row
+    nearest. Per-cycle assignment (the normal path) always has unique
+    ids."""
     cent_df = spark.createDataFrame(
         cent_rows, "k int, d int, s long, n long"
     )

@@ -1234,7 +1234,15 @@ def test_ann_index_consolidated_whole_corpus_golden(
         spark, eng.io, 3, qemb, topk=5, nprobe=2, whole_corpus=True
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "TakeOrderedAndProject" in plan
+    # EVERY unioned index segment (base@2 + delta@3 = 2 scans) must be
+    # partition-pruned on cell — one unpruned branch would silently scan
+    # a whole segment at corpus scale
+    import re as _re
+
+    pf = _re.findall(r"PartitionFilters: \[[^]]*\]", plan)
+    assert len(pf) >= 2, plan
+    assert all("cell" in p for p in pf), pf
+    assert "TakeOrderedAndProject" in plan
     got_rows = [(r["url_hash"], r["cos_sim"]) for r in got.collect()]
 
     qn = math.sqrt(sum(x * x for x in qemb))
