@@ -575,6 +575,15 @@ def ivf_probe_topk(
             spark, "ann_centroids", cent_cycle, schemas.ANN_CENTROIDS
         ).collect()
     ]
+    if not cent_rows:
+        # no committed quantizer stats: probing an LSH-mode index (or a
+        # cycle before any IVF build) with the IVF router would silently
+        # route to zero cells and return an EMPTY result — fail loudly
+        raise ValueError(
+            "no committed ann_centroids at or before cycle "
+            f"{cent_cycle}: ivf_probe_topk requires an index built with "
+            "ann_index_mode='ivf'"
+        )
     cells = ivf_route_py(cent_rows, query_emb, nprobe)
     qe = F.array(*[F.lit(float(x)) for x in query_emb])
     norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))

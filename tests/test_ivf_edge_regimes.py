@@ -126,3 +126,19 @@ def test_enrich_scalars_null_text_consistent(spark):
         assert nul[k] == empty[k], (k, nul[k], empty[k])
     assert nul["n_words"] == 1  # split('') -> [''], the empty-doc shape
     assert nul["fp"] is not None
+
+
+def test_ivf_probe_without_centroids_fails_loudly(spark, tmp_path):
+    """Probing an index with NO committed ann_centroids (an LSH-mode
+    index, or a cycle before any IVF build) must raise — the old behavior
+    routed to zero cells and returned an empty DataFrame, silently."""
+    import pytest
+
+    from frontier_engine.corpus import ivf_probe_topk
+    from frontier_engine.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    with pytest.raises(ValueError, match="ann_centroids"):
+        ivf_probe_topk(spark, io, 1, [1.0] * 16, topk=3)
+    with pytest.raises(ValueError, match="ann_centroids"):
+        ivf_probe_topk(spark, io, 1, [1.0] * 16, topk=3, whole_corpus=True)
