@@ -398,31 +398,34 @@ def ivf_train_collect(
     return sorted(rows)
 
 
-def _ivf_assign(exploded: DataFrame, cent_df: DataFrame, id_col: str):
+def _ivf_assign(exploded: DataFrame, cent_df: DataFrame, id_cols):
     """Nearest trained cell per id: floor-quantized centroid c = ⌊s/n⌋
     (sign-safe via pmod so the Spark/DuckDB/Python floors agree), exact
     integer distance Σ(v − c)², ties to smallest k (identical to the
     driver IVF query). The residual is bounded by the quantized value
-    range — cluster size never enters — so the sum can't overflow."""
+    range — cluster size never enters — so the sum can't overflow.
+    ``id_cols`` may be one column name or a list (composite key)."""
     from pyspark.sql import Window
 
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
     centc = cent_df.select(
         "k", "d", F.expr("(s - pmod(s, n)) div n").alias("c")
     )
     t = F.col("val") - F.col("c")
     num = (
         exploded.join(F.broadcast(centc), "d")
-        .select(id_col, "k", (t * t).alias("t"))
-        .groupBy(id_col, "k")
+        .select(*id_cols, "k", (t * t).alias("t"))
+        .groupBy(*id_cols, "k")
         .agg(F.sum("t").alias("num"))
     )
-    wk = Window.partitionBy(id_col).orderBy(
+    wk = Window.partitionBy(*id_cols).orderBy(
         F.col("num").asc(), F.col("k").asc()
     )
     return (
         num.withColumn("rn", F.row_number().over(wk))
         .where("rn = 1")
-        .select(id_col, "k")
+        .select(*id_cols, "k")
     )
 
 
@@ -433,28 +436,35 @@ def ivf_assign_cells(
     collected centroid stats as a plan-time literal dim (broadcast; one
     corpus pass, no training recompute).
 
-    Caveat: ``id_col`` is assumed unique within ``df``. Duplicate ids
-    (possible only when re-assigning an ACCUMULATED index under recrawl
-    TTL, where one url_hash carries a row per fetch) share one assignment
-    computed over their combined dims — deterministic, but not per-row
-    nearest. Per-cycle assignment (the normal path) always has unique
-    ids."""
+    Robust to duplicate ids: the assignment key is (id, xxhash64 of the
+    quantized dims), so two fetches of one url_hash with DIFFERENT content
+    — possible only when re-assigning an ACCUMULATED index under recrawl
+    TTL — each get their own nearest cell. Rows identical in both id and
+    quantized emb do share one distance group, but their duplicated dims
+    scale EVERY centroid's summed distance by the same factor, so the
+    argmin and the smallest-k tie-break are invariant and the shared
+    assignment is each row's own nearest cell too. For unique-id frames
+    (the per-cycle path) the extra key is constant per group and results
+    are bit-identical to keying by id alone."""
     cent_df = spark.createDataFrame(
         cent_rows, "k int, d int, s long, n long"
     )
+    lvc = F.transform("emb", _q_col)
     lv = df.select(
         F.col(id_col).alias("_vid"),
-        F.transform("emb", _q_col).alias("lv"),
+        F.xxhash64(lvc).alias("_vh"),
+        lvc.alias("lv"),
     )
-    exploded = lv.select("_vid", F.posexplode("lv").alias("d", "val"))
-    a = _ivf_assign(exploded, cent_df, "_vid").select(
-        F.col("_vid").alias(id_col), F.col("k").alias("_cell")
+    exploded = lv.select("_vid", "_vh", F.posexplode("lv").alias("d", "val"))
+    a = _ivf_assign(exploded, cent_df, ["_vid", "_vh"]).select(
+        F.col("_vid").alias(id_col), "_vh", F.col("k").alias("_cell")
     )
     return (
         df.drop("cell")
-        .join(a, id_col)
+        .withColumn("_vh", F.xxhash64(lvc))
+        .join(a, [id_col, "_vh"])
         .withColumn("cell", F.col("_cell").cast("int"))
-        .drop("_cell")
+        .drop("_cell", "_vh")
     )
 
 

@@ -128,6 +128,36 @@ def test_enrich_scalars_null_text_consistent(spark):
     assert nul["fp"] is not None
 
 
+def test_ivf_assign_duplicate_ids_per_row_nearest(spark):
+    """Re-assigning an ACCUMULATED index under recrawl TTL hits duplicate
+    url_hash ids (one row per fetch). Each physical row must still get its
+    OWN nearest cell — the assignment is keyed by (id, hash(quantized
+    emb)), so two fetches of one URL with different content route
+    independently, and identical duplicate rows keep both rows with the
+    (shared, correct) cell. Before this fix, duplicate ids were assigned
+    over their COMBINED dims: one deterministic-but-wrong cell for both."""
+    from frontier_engine.corpus import ivf_assign_cells, ivf_route_py
+
+    # two trained cells: k=0 centered at 0.0, k=1 centered at 1.0
+    cent_rows = sorted(
+        [(0, d, 0, 1) for d in range(16)]
+        + [(1, d, 10_000, 1) for d in range(16)]
+    )
+    lo, hi = [0.0] * 16, [1.0] * 16
+    df = spark.createDataFrame(
+        [(42, 0, 0, lo), (42, 0, 0, hi), (7, 0, 0, hi),
+         (99, 0, 0, lo), (99, 0, 0, lo)],
+        "url_hash long, host_bucket int, cell int, emb array<double>",
+    )
+    got = ivf_assign_cells(spark, df, "url_hash", cent_rows).collect()
+    assert len(got) == 5, "row count must survive the assignment join"
+    for r in got:  # every row: its own emb's nprobe=1 route
+        assert r["cell"] == ivf_route_py(cent_rows, list(r["emb"]))[0]
+    cells_42 = sorted(r["cell"] for r in got if r["url_hash"] == 42)
+    assert cells_42 == [0, 1], "recrawled content must route independently"
+    assert [r["cell"] for r in got if r["url_hash"] == 99] == [0, 0]
+
+
 def test_ivf_probe_without_centroids_fails_loudly(spark, tmp_path):
     """Probing an index with NO committed ann_centroids (an LSH-mode
     index, or a cycle before any IVF build) must raise — the old behavior
