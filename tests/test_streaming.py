@@ -216,3 +216,100 @@ def test_fold_sessions_very_late_event_is_own_earlier_session():
     closed, st = fold_sessions([1 * H, 3 * H], st, gap)
     assert closed == [(1 * H, 1 * H, 1), (3 * H, 3 * H, 1)]
     assert st == (8 * H + H // 2, 10 * H, 3)
+
+
+# ---------------------------------------------------------------------------
+# fold_sessions fuzz: the fixed-case tests above pin the documented
+# behaviors; these pin the semantics over the whole input space.
+
+
+def _exact_sessions(ts_sorted, gap_us):
+    """Batch-free event-time gap sessionization (the semantics
+    fold_sessions must reproduce whenever no event arrives late)."""
+    out = []
+    for t in ts_sorted:
+        if out and t - out[-1][1] <= gap_us:
+            s, l, n = out[-1]
+            out[-1] = (s, max(l, t), n + 1)
+        else:
+            out.append((t, t, 1))
+    return out
+
+
+def test_fold_sessions_fuzz_in_order_split_invariance():
+    """Delivered IN ORDER (no late events), the fold must equal exact
+    event-time sessionization regardless of how the stream is cut into
+    micro-batches — the batch boundaries are an implementation artifact
+    and must never show in the output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from frontier_engine.streaming import fold_sessions
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        ts=st.lists(st.integers(0, 10**8), min_size=0, max_size=60),
+        gap=st.integers(1, 10**7),
+        cuts=st.lists(st.integers(0, 60), max_size=6),
+    )
+    def prop(ts, gap, cuts):
+        ts = sorted(ts)
+        bounds = sorted({c for c in cuts if c < len(ts)}) + [len(ts)]
+        closed_all, state = [], None
+        lo = 0
+        for hi in bounds:
+            closed, state = fold_sessions(ts[lo:hi], state, gap)
+            closed_all.extend(closed)
+            lo = hi
+        if state is not None:
+            closed_all.append(state)
+        assert closed_all == _exact_sessions(ts, gap)
+
+    prop()
+
+
+def test_fold_sessions_fuzz_lateness_invariants():
+    """Under ARBITRARY cross-batch lateness (any partition of the events
+    into batches, each batch sorted, as applyInPandasWithState delivers
+    them) the fold must still: conserve the event count, emit only
+    well-formed sessions (start <= last, n >= 1, span <= (n-1)*gap —
+    every event chains within gap of its session), and never let an
+    event older than start - gap disturb the open session."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from frontier_engine.streaming import fold_sessions
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        events=st.lists(
+            st.tuples(st.integers(0, 10**8), st.integers(0, 5)),
+            min_size=0,
+            max_size=60,
+        ),
+        gap=st.integers(1, 10**7),
+    )
+    def prop(events, gap):
+        batches: dict = {}
+        for t, b in events:
+            batches.setdefault(b, []).append(t)
+        closed_all, state = [], None
+        for b in sorted(batches):
+            ts = sorted(batches[b])
+            prev = state
+            closed, state = fold_sessions(ts, state, gap)
+            closed_all.extend(closed)
+            if prev is not None and all(prev[0] - t > gap for t in ts):
+                # every event in this batch predates the open session by
+                # more than gap: the open session must be untouched
+                assert state == prev
+        total = sum(n for _s, _l, n in closed_all)
+        if state is not None:
+            total += state[2]
+        assert total == len(events)
+        for s, l, n in closed_all + ([state] if state else []):
+            assert s <= l and n >= 1
+            assert (n > 1) or (s == l)
+            assert l - s <= (n - 1) * gap
+
+    prop()
