@@ -576,8 +576,11 @@ def ivf_probe_topk(
         raise ValueError("zero-norm query embedding")
     cent_cycle = cycle
     if whole_corpus:
-        # any cycle's ann_centroids rows are the same pinned stats; read
-        # the latest committed ones <= cycle
+        # the latest committed ann_centroids <= cycle are the stats every
+        # readable index dir was assigned under: with the train-once
+        # default all cycles re-commit the same pinned rows, and with
+        # ann_retrain_on_compact a retrain re-assigns the whole base in
+        # the same commit, so base + later deltas again share these stats
         cent_cycle = io.latest_table_cycle("ann_centroids", cycle) or cycle
     cent_rows = [
         (r["k"], r["d"], r["s"], r["n"])

@@ -442,7 +442,11 @@ class FrontierScheduler:
             definite_new, maybe_seen, tested_frame = split_by_filter(
                 cand_g, io, cycle - 1, cfg
             )
-            tracked.append(tested_frame)  # persisted inside split_by_filter
+            if tested_frame is not None:  # persisted inside split_by_filter;
+                # None when no filter shard exists yet (e.g. the previous
+                # cycle ran with build_filters=False and none were ever
+                # committed) — appending None would crash the finally
+                tracked.append(tested_frame)
             confirmed_new = maybe_seen.join(seen, "url_hash", "left_anti")
             new_keys = definite_new.unionByName(confirmed_new)
         else:

@@ -1357,3 +1357,26 @@ def test_ann_quantizer_retrain_on_compact_golden(
         want.append((r["url_hash"], round(dot / (nrm * qn), 6)))
     want.sort(key=lambda t: (-t[1], t[0]))
     assert got == want[:5]
+
+
+def test_resume_without_prior_filter_build_golden(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """A cycle whose predecessor never committed membership filters (e.g.
+    the predecessor was the final cycle of a run — build_filters=False)
+    must fall back to the exact anti-join and produce the same trace, and
+    run_cycle's persisted-frame cleanup must tolerate the fallback (its
+    split_by_filter returns no tested frame — a None in the tracked list
+    would crash the finally-unpersist on an otherwise-healthy cycle)."""
+    fix = FixtureConfig(n_urls=2000)
+    cfg = config_for_fixture(fix)  # use_seen_filter=True (default)
+    work = str(tmp_path_factory.mktemp("engine-nofilter-resume"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run_cycle(1, build_filters=False)  # run(cycles=1) shape
+    assert not os.path.isdir(os.path.join(eng.io.root, "filters"))
+    eng.run_cycle(2, build_filters=False)  # filterless split path
+
+    st = spark_trace(spark, eng.io, range(1, 3))
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    rt = ref_trace(run(pages, seeds, robots, cfg, cycles=2))
+    assert diff_traces(st, rt) == []
