@@ -1380,3 +1380,91 @@ def test_resume_without_prior_filter_build_golden(
     pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
     rt = ref_trace(run(pages, seeds, robots, cfg, cycles=2))
     assert diff_traces(st, rt) == []
+
+
+def test_ann_consolidation_under_recrawl_ttl_golden(
+    spark, tiny_fixture_dir, tmp_path_factory
+):
+    """The consolidated ANN index under PERIODIC recrawl (the reference's
+    actual loop shape): with recrawl_after_cycles=2 a URL is re-fetched
+    and re-indexed, so the accumulated index holds MULTIPLE rows per
+    url_hash — an index of fetches. With ann_retrain_on_compact the
+    compaction re-assigns that duplicate-id frame (the regime the
+    (id, quantized-dims-hash) assignment key exists for). Pins:
+    (1) the crawl trace still exactly equals refspec (ann stages are
+    output-only); (2) non-vacuity — some url_hash is indexed in >= 2
+    delta cycles; (3) the as-of index is the exact MULTISET union of the
+    per-cycle deltas (duplicates preserved, never collapsed or fanned
+    out by the re-assignment joins); (4) every as-of row — including
+    each duplicate — carries the nearest-cell assignment under the stats
+    in force (latest retrain)."""
+    import dataclasses
+    from collections import Counter
+
+    from frontier_engine import schemas
+    from frontier_engine.corpus import ivf_route_py
+
+    fix = FixtureConfig(n_urls=2000)
+    cfg = dataclasses.replace(
+        config_for_fixture(fix),
+        recrawl_after_cycles=2,
+        compact_every=2,
+        ann_index=True,
+        ann_index_mode="ivf",
+        ann_retrain_on_compact=True,
+    )
+    work = str(tmp_path_factory.mktemp("engine-ann-ttl"))
+    eng = build_engine(spark, tiny_fixture_dir, work, cfg)
+    eng.run(cycles=6)
+
+    # (1) ann stages are output-only even under TTL + retrain
+    st = spark_trace(spark, eng.io, range(1, 7))
+    pages, seeds, robots = read_fixture_rows(tiny_fixture_dir)
+    rt = ref_trace(run(pages, seeds, robots, cfg, cycles=6))
+    assert diff_traces(st, rt) == []
+
+    deltas = {
+        c: eng.io.read_cycle(
+            spark, "ann_index", c, schemas.ANN_INDEX
+        ).collect()
+        for c in range(1, 7)
+    }
+    # (2) a genuine re-index happened (TTL recrawl reaches the ann stage)
+    cycles_of: dict = {}
+    for c, rows in deltas.items():
+        for r in rows:
+            cycles_of.setdefault(r["url_hash"], set()).add(c)
+    assert any(len(cs) >= 2 for cs in cycles_of.values()), (
+        "no url_hash indexed in two cycles — TTL never reached the index"
+    )
+
+    # (3) exact multiset union: duplicates preserved through base
+    # consolidation and retrain re-assignment (a key-collision fan-out
+    # or collapse in the re-assign join would break the counts)
+    asof = eng.io.read_appended(
+        spark, "ann_index", 6, schemas.ANN_INDEX
+    ).collect()
+    assert Counter(
+        (r["url_hash"], tuple(r["emb"])) for r in asof
+    ) == Counter(
+        (r["url_hash"], tuple(r["emb"]))
+        for rows in deltas.values()
+        for r in rows
+    )
+    dup_ids = {u for u, cs in cycles_of.items() if len(cs) >= 2}
+    assert sum(1 for r in asof if r["url_hash"] in dup_ids) >= 2 * len(
+        dup_ids
+    )
+
+    # (4) every row (duplicates included) routes to its own nearest cell
+    # under the stats in force at the latest retrain
+    qc = eng.io.manifest(6)["meta"]["ann_quantizer_cycle"]
+    assert qc > 1  # a retrain actually happened inside the run
+    stats = sorted(
+        (r["k"], r["d"], r["s"], r["n"])
+        for r in eng.io.read_cycle(
+            spark, "ann_centroids", 6, schemas.ANN_CENTROIDS
+        ).collect()
+    )
+    for r in asof:
+        assert ivf_route_py(stats, list(r["emb"]), nprobe=1) == [r["cell"]]
