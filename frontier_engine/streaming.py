@@ -78,17 +78,24 @@ def fold_sessions(ts, state, gap_us):
     - start - gap_us <= t < start: extends the open session's start
       backwards (gap semantics WOULD have merged them — the distance to
       the session is <= gap);
-    - t < start - gap_us: a separate EARLIER session. Event-time gap
-      semantics would never merge it into the open session, so folding it
-      in (the old clamp) under-counted sessions and stretched the open
-      session's span. Such events are folded among THEMSELVES (a run of
-      late events within gap of each other is ONE earlier session) and
-      closed immediately — by construction none of them can merge with
-      the open session. Exactness bound: like any gap-based streaming
-      sessionizer, events arriving after their session was already CLOSED
-      and emitted (beyond the retained open state) cannot reopen it."""
+    - t < start - gap_us: a separate EARLIER session — UNLESS a later
+      event in the same batch lands between them and bridges the chain
+      (each link <= gap). Such events are folded among THEMSELVES (a run
+      of late events within gap of each other is ONE earlier session);
+      runs before the last close immediately, and the LAST run stays
+      pending: if an in-gap event later pulls the open session's start
+      back to within gap of the run's last event, gap semantics make them
+      ONE session, so the run merges instead of closing. At most one run
+      can ever bridge — the open start never drops below the pending
+      run's own start (every remaining t >= original start - gap, which
+      exceeds the previous run's last). Exactness bound: like any
+      gap-based streaming sessionizer, events arriving after their
+      session was already CLOSED and emitted (beyond the retained open
+      state) cannot reopen it — including a cross-BATCH bridge, whose
+      early side was emitted a batch ago."""
     start, last, n = state if state is not None else (None, 0, 0)
     closed = []
+    pend = None  # last early-session run — may yet bridge into the open one
     i = 0
     if start is not None:
         ps = pl = None
@@ -107,14 +114,19 @@ def fold_sessions(ts, state, gap_us):
                 pn += 1
             i += 1
         if ps is not None:
-            # the while-condition guarantees start - pl > gap_us: the last
-            # early session can never merge with the open one
-            closed.append((ps, pl, pn))
+            # start - pl > gap_us HERE, but a later in-gap event can still
+            # pull start back to within gap of pl (a bridge) — keep pending
+            pend = (ps, pl, pn)
     for t in ts[i:]:
         if start is None:
             start = last = t
             n = 1
         elif t - last > gap_us:
+            if pend is not None:
+                # the open start is final (ts ascending: no later event can
+                # reach back past t) — the pending run never bridged
+                closed.append(pend)
+                pend = None
             closed.append((start, last, n))
             start = last = t
             n = 1
@@ -123,7 +135,14 @@ def fold_sessions(ts, state, gap_us):
                 last = t
             elif t < start:
                 start = t
+                if pend is not None and start - pend[1] <= gap_us:
+                    # bridged: start–t–pend.last now chains within gap
+                    start = pend[0]
+                    n += pend[2]
+                    pend = None
             n += 1
+    if pend is not None:
+        closed.append(pend)
     return closed, (None if start is None else (start, last, n))
 
 

@@ -218,6 +218,78 @@ def test_fold_sessions_very_late_event_is_own_earlier_session():
     assert st == (8 * H + H // 2, 10 * H, 3)
 
 
+def test_fold_sessions_bridge_event_merges_pending_early_run():
+    """A very-late event beyond start - gap plus a SECOND event that
+    chains both (within gap of the late event AND of the open start) is
+    ONE session under event-time gap semantics: the early run must merge
+    into the open session via the bridge, not close separately."""
+    from frontier_engine.streaming import fold_sessions
+
+    gap = 10
+
+    # open session (100, 110, 2)
+    closed, st = fold_sessions([100, 110], None, gap)
+    assert closed == [] and st == (100, 110, 2)
+
+    # 85 is very late (100 - 85 > gap); 92 bridges (92-85 <= gap and
+    # 100-92 <= gap): oracle fold of {85, 92, 100, 110} is ONE session
+    closed, st = fold_sessions([85, 92], st, gap)
+    assert closed == []
+    assert st == (85, 110, 4)
+
+    # but only the LAST early run can bridge: a run at 60..65 stays its
+    # own session even when 85's run later bridges (65 -> 85 gap > 10)
+    closed, st = fold_sessions([200], None, gap)
+    assert st == (200, 200, 1)
+    closed, st = fold_sessions([160, 165, 185, 192], st, gap)
+    assert closed == [(160, 165, 2)]
+    assert st == (185, 200, 3)
+
+    # and with no bridge, the pending run still closes (end-of-batch path)
+    closed, st = fold_sessions([300], None, gap)
+    closed, st = fold_sessions([260, 265], st, gap)
+    assert closed == [(260, 265, 2)]
+    assert st == (300, 300, 1)
+
+    # pending run also flushes when the open session itself closes
+    closed, st = fold_sessions([400], None, gap)
+    closed, st = fold_sessions([360, 460], st, gap)
+    assert closed == [(360, 360, 1), (400, 400, 1)]
+    assert st == (460, 460, 1)
+
+
+def test_fold_sessions_fuzz_late_batch_exactness():
+    """Oracle-equality under lateness confined to the open regime: run a
+    first batch, then a second batch whose every event lands strictly
+    more than gap after the last session CLOSED by batch 1 (so no event
+    belongs to an already-emitted session — the documented exactness
+    bound). The two-batch fold must then equal the batch-free oracle over
+    the union, bridges included."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from frontier_engine.streaming import fold_sessions
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        a=st.lists(st.integers(0, 10**6), min_size=1, max_size=40),
+        b=st.lists(st.integers(0, 10**6), min_size=0, max_size=40),
+        gap=st.integers(1, 10**5),
+    )
+    def prop(a, b, gap):
+        a = sorted(a)
+        c1, state = fold_sessions(a, None, gap)
+        floor = (c1[-1][1] + gap + 1) if c1 else 0
+        b = sorted(t for t in b if t >= floor)
+        c2, state = fold_sessions(b, state, gap)
+        closed_all = c1 + c2
+        if state is not None:
+            closed_all.append(state)
+        assert closed_all == _exact_sessions(sorted(a + b), gap)
+
+    prop()
+
+
 # ---------------------------------------------------------------------------
 # fold_sessions fuzz: the fixed-case tests above pin the documented
 # behaviors; these pin the semantics over the whole input space.
