@@ -48,9 +48,13 @@ N_HYPER = 4    # hyperplanes -> 2^N_HYPER coarse cells
 _HEXD = "0123456789abcdef"
 
 
-def _shingles(text_col):
-    """Word 3-gram shingles (empty array when < 3 words)."""
-    words = F.split(text_col, " ")
+def _shingles(words_col):
+    """Word 3-gram shingles over an ALREADY-PROJECTED words-array column
+    (empty array when < 3 words). The words array must be a bound column,
+    not an inline split(): higher-order lambdas run interpreted and
+    re-evaluate an un-bound split() child per array element — O(words²)
+    per doc (measured 7x slower on the shingle pipeline)."""
+    words = words_col
     return F.when(
         F.size(words) >= 3,
         F.transform(
@@ -70,8 +74,8 @@ def band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     nd_closure stage (connected components over all cycles' band rows)."""
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(_shingles(F.col(text_col))).alias("s"),
-    )
+        F.split(F.col(text_col), " ").alias("_words"),
+    ).select("_id", F.explode(_shingles(F.col("_words"))).alias("s"))
     sig = sh.groupBy("_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
@@ -113,13 +117,17 @@ def enrich_scalars(df: DataFrame, text_col: str) -> DataFrame:
     # it a NULL-text row got NULL fp/n_words/ratios yet a concrete
     # predicted_lang ('other', the when-chain's NULL fall-through)
     text = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.split(text, " ")
+    # split once into a bound column: the words array feeds ~6 output
+    # expressions (several of them interpreted higher-order filters), and
+    # an inline split() child is re-evaluated per expression
+    df = df.withColumn("_ws", F.split(text, " "))
+    words = F.col("_ws")
     stops = F.filter(words, lambda w: (w == "the") | (w == "a"))
     tech = F.filter(
         words, lambda w: (w == "spark") | (w == "query") | (w == "data")
     )
     return df.select(
-        "*",
+        *[c for c in df.columns if c != "_ws"],
         F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")).alias("fp"),
         F.size(words).cast("long").alias("n_words"),
         F.round(F.length(text) / F.size(words), 4).alias("avg_token_len"),

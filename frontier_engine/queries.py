@@ -22,6 +22,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive map-parallelism repair (guide §2.5/§6): the sandbox's
+    driver tables are SINGLE-ROW-GROUP parquet files, so their scans
+    collapse to one effective task regardless of split math (parquet
+    row-group granularity) and every per-row/explode stage above runs
+    single-threaded. Repartition to the session's core count ONLY when the
+    scan exposes fewer partitions than cores — at production scale inputs
+    have >> cores splits and this is a no-op, so nothing here is tuned to
+    the local fixture."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + ``_spread`` — the default read for queries whose per-row /
+    explode work above the scan dwarfs one small shuffle of the input."""
+    return _spread(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # crawl-core operators over driver tables
 # ---------------------------------------------------------------------------
@@ -68,7 +90,7 @@ def q_url_hash_keys(spark, sf_dir):
 
 def q_dedup_keep_first(spark, sf_dir):
     """Window keep-first dedup (row_number == 1) by a coarse key."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     w = Window.partitionBy("n_chars").orderBy("doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
@@ -84,7 +106,7 @@ SELECT n_chars, MIN(doc_id) AS first_doc_id FROM documents GROUP BY n_chars
 
 def q_anti_join_new(spark, sf_dir):
     """URL-seen dedup shape: left ANTI join against a seen-set on a hash key."""
-    d = _t(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    d = _ts(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
     seen = d.where("source = 'src0'").select("h")
     return d.join(seen, "h", "left_anti").select("doc_id")
 
@@ -101,7 +123,7 @@ WHERE NOT EXISTS (
 def q_politeness_budget(spark, sf_dir):
     """The flagship politeness window: per-key rank over a total order,
     budget cut at 5 (events.user_id plays the host)."""
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.desc("value"), F.asc("ts"), F.asc("event_id")
     )
@@ -124,7 +146,7 @@ SELECT user_id, event_id, rk FROM (
 
 def q_priority_topk(spark, sf_dir):
     """Per-host top-k by priority with deterministic tiebreak."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _ts(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.lit("host"), (F.col("doc_id") % 20).cast("string")).alias("host"),
         (F.col("n_chars") % 10).cast("int").alias("priority"),
@@ -150,7 +172,7 @@ SELECT host, doc_id, priority, rk FROM (
 
 def q_lineage_counts(spark, sf_dir):
     """Per-partition lineage aggregation shape (count/sum/countDistinct)."""
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 3).alias("sum_value"),
@@ -167,7 +189,7 @@ FROM events GROUP BY event_type
 
 def q_lineage_rollup(spark, sf_dir):
     """ROLLUP lineage report (cycle/bucket analog on lineitem flags)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _ts(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -193,6 +215,8 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 def q_incremental_scan(spark, sf_dir):
     """Incremental ordered scan: predicate vs a checkpoint (ROWID > last_row
     analog; both predicates push to the parquet scan)."""
+    # no _spread: the query's POINT is scan-level predicate pushdown
+    # (plan-pinned) and the selective filter belongs at the source
     e = _t(spark, sf_dir, "events")
     return (
         # driver tables carry TIMESTAMP_NTZ — compare against an NTZ literal
@@ -216,7 +240,7 @@ GROUP BY event_type
 
 def q_set_except_users(spark, sf_dir):
     """Set difference: clickers who never purchased (EXCEPT)."""
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     clicks = e.where("event_type = 'click'").select("user_id").distinct()
     buys = e.where("event_type = 'purchase'").select("user_id").distinct()
     return clicks.subtract(buys)
@@ -231,7 +255,7 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 
 def q_robots_prefix_filter(spark, sf_dir):
     """Robots-style array-of-prefixes disallow filter (higher-order fn)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     disallow = F.array(F.lit("src1"), F.lit("src3"))
     blocked = F.exists(disallow, lambda p: F.col("source").startswith(p))
     return d.where(~blocked).select("doc_id", "source")
@@ -276,7 +300,7 @@ def q_robots_longest_match(spark, sf_dir):
     URL key so no task ever holds more than one URL's matched rules."""
     from .robots_rfc import rule_regex
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     paths = d.select(
         "doc_id",
         F.concat(F.lit("/d/"), F.col("doc_id").cast("string")).alias("path"),
@@ -346,7 +370,7 @@ SQL_ROBOTS_LONGEST_MATCH = _sql_robots_longest_match()
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _ts(spark, sf_dir, "lineitem")
     return (
         li.where(
             F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
@@ -379,8 +403,8 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_top_customers(spark, sf_dir):
     """Broadcast dim join + agg + deterministic top-k."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    o = _ts(spark, sf_dir, "orders")
+    c = _ts(spark, sf_dir, "customer")
     return (
         o.groupBy("o_custkey")
         .agg(
@@ -405,8 +429,8 @@ ORDER BY total DESC, o_custkey ASC LIMIT 10
 
 def q_customers_no_orders(spark, sf_dir):
     """Left ANTI join (the URL-seen shape on the star schema)."""
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    c = _t(spark, sf_dir, "customer")
+    o = _ts(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    c = _ts(spark, sf_dir, "customer")
     return c.join(o, "c_custkey", "left_anti").select("c_custkey")
 
 
@@ -418,8 +442,8 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 def q_customers_with_orders(spark, sf_dir):
     """Left SEMI join companion."""
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    c = _t(spark, sf_dir, "customer")
+    o = _ts(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    c = _ts(spark, sf_dir, "customer")
     return (
         c.join(o, "c_custkey", "left_semi")
         .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
@@ -434,7 +458,7 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 def q_latest_event_per_user(spark, sf_dir):
     """As-of/latest-per-key (latest robots per host analog)."""
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -475,7 +499,7 @@ def q_time_buckets(spark, sf_dir):
     """Tumbling time-bucket aggregation (hourly). The bucket key is the
     wall-clock hour as a string: ts is TIMESTAMP_NTZ and Spark's date_trunc
     would round-trip it through the session timezone."""
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     hour_key = F.substring(F.col("ts").cast("string"), 1, 13)
     return (
         e.groupBy(hour_key.alias("hour_key"))
@@ -491,7 +515,7 @@ FROM events GROUP BY 1
 
 
 def q_distinct_users_exact(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
@@ -504,7 +528,7 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
 
 def q_approx_distinct_users(spark, sf_dir):
     """HLL++ cardinality (approx — engines differ, rows-only check)."""
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users")
     )
@@ -513,7 +537,7 @@ def q_approx_distinct_users(spark, sf_dir):
 def q_salted_group_agg(spark, sf_dir):
     """Skew-safe two-phase salted aggregation; must equal the plain GROUP BY
     (salting is a physical knob, never a semantic one)."""
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     partial = (
         e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
         .groupBy("user_id", "salt")
@@ -536,7 +560,7 @@ FROM events GROUP BY user_id
 
 def q_exact_dedup_docs(spark, sf_dir):
     """Exact dedup by full-content hash (hash-groupBy)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return (
         d.withColumn("text_hash", F.md5("text"))
         .groupBy("text_hash")
@@ -550,14 +574,30 @@ FROM documents GROUP BY 1
 """
 
 
-def _shingles_col():
-    """word 3-gram shingles of `text` (empty when < 3 words)."""
+def _with_words(d):
+    """Pre-project the split-words array ONCE (as `_words`). Higher-order
+    lambdas (transform/slice) are interpreted and re-evaluate an un-bound
+    `split(text)` child PER ARRAY ELEMENT — O(words²) per doc; binding the
+    array to a projected column first makes shingling O(words) (measured
+    7x on the n-gram pipeline). CollapseProject cannot re-inline it: the
+    shingle expression references `_words` more than once."""
+    return d.select("doc_id", "text", F.split("text", " ").alias("_words"))
+
+
+def _gram_expr(n: int):
+    """word n-gram shingles over the pre-projected `_words` array (empty
+    when < n words). Same values as the previous split-in-lambda spelling."""
     return F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        " transform(sequence(1, size(split(text, ' ')) - 2), "
-        "   i -> array_join(slice(split(text, ' '), i, 3), ' ')) "
+        f"CASE WHEN size(_words) >= {n} THEN "
+        f" transform(sequence(1, size(_words) - {n - 1}), "
+        f"   i -> array_join(slice(_words, i, {n}), ' ')) "
         "ELSE array() END"
     )
+
+
+def _shingles_col():
+    """word 3-gram shingles of `_words` (empty when < 3 words)."""
+    return _gram_expr(3)
 
 
 _SHINGLES_SQL = """
@@ -571,8 +611,8 @@ _SHINGLES_SQL = """
 def q_minhash_signatures(spark, sf_dir):
     """MinHash (8 permutations via seeded md5) over 3-gram shingles —
     the signature stage of MinHash-LSH dedup, fully SQL-checkable."""
-    d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles_col()).alias("s"))
+    d = _ts(spark, sf_dir, "documents")
+    sh = _with_words(d).select("doc_id", F.explode(_shingles_col()).alias("s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
         for i in range(8)
@@ -616,16 +656,34 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         F.col("_bb.band").alias("band"),
         F.col("_bb.bkey").alias("bkey"),
     )
-    left = bands.alias("x")
-    right = bands.alias("y")
-    return (
-        left.join(
-            right,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    # pairs per bucket WITHOUT a self-join: the join spelling executed the
+    # whole shingle+signature pipeline once PER SIDE (exchange reuse does
+    # not fire across the join's two subtrees — verified in the plan:
+    # two full Scan→Generate→Aggregate chains, zero ReusedExchange).
+    # Collecting each bucket's sorted doc list computes the pipeline ONCE;
+    # LSH bucket fan-in is bounded (band buckets are dup-cluster sized,
+    # never corpus-sized), so per-bucket lists stay small and the pair
+    # explosion is the same candidate set the equi-join produced. doc_ids
+    # are unique within a bucket (one row per (doc, band)), so ascending
+    # (x, y-after-x) enumeration reproduces the a < b condition exactly.
+    buckets = bands.groupBy("band", "bkey").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ds",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size("ds")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
         )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    return (
+        buckets.where(F.size("ds") >= 2)
+        .select(pair.alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 
@@ -653,17 +711,9 @@ def q_text_repetition(spark, sf_dir):
     One explode + two-level aggregation, all JVM built-ins — per-doc work,
     no joins, linear at corpus scale. Docs with < 2 words emit no grams
     and are excluded (same in the oracle)."""
-    d = _t(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "  i -> array_join(slice(split(text, ' '), i, 2), ' ')) "
-                "ELSE array() END"
-            )
-        ).alias("g"),
+    d = _ts(spark, sf_dir, "documents")
+    grams = _with_words(d).select(
+        "doc_id", F.explode(_gram_expr(2)).alias("g")
     )
     per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     return (
@@ -722,7 +772,7 @@ def q_neardup_components(spark, sf_dir):
 
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    vertices = _t(spark, sf_dir, "documents").select(
+    vertices = _ts(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
     )
     comp, _rounds = connected_components_star(edges, vertices)
@@ -749,8 +799,10 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     the quadratic space is pruned by the banded LSH join first, so this
     composes at corpus scale."""
     cands = q_minhash_lsh_pairs(spark, sf_dir)
-    d = _t(spark, sf_dir, "documents")
-    sets = d.select("doc_id", F.array_distinct(_shingles_col()).alias("ss"))
+    d = _ts(spark, sf_dir, "documents")
+    sets = _with_words(d).select(
+        "doc_id", F.array_distinct(_shingles_col()).alias("ss")
+    )
     jac = F.round(
         F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
         / F.size(F.array_union(F.col("ssa"), F.col("ssb"))),
@@ -851,7 +903,7 @@ def q_simhash64_bands(spark, sf_dir):
     two 16-bit bands; pairs sharing ANY band are candidates (guarantees
     recall of hamming distance <= 3 by pigeonhole over 4 bands), confirmed
     by the exact hamming distance <= 8. Banded equi-join, never all-pairs."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     h = _word_half_hashes(d)
     aggs = [
         F.sum(
@@ -994,7 +1046,7 @@ def _dot(a, b):
 
 def q_embedding_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (JVM-side array math, no UDF)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _ts(spark, sf_dir, "embeddings")
     q = e.where("vec_id = 0").select(_emb_double().alias("qe"))
     cand = e.where("vec_id <> 0").select("vec_id", _emb_double().alias("ee"))
     cos = _dot(F.col("ee"), F.col("qe")) / (
@@ -1058,7 +1110,7 @@ SQL_ANN_LSH_BUCKETS = (
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN at scale: search ONLY the query's LSH bucket (candidate set
     ~1/16th of the corpus), then exact cosine top-k inside it."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _ts(spark, sf_dir, "embeddings")
     ee = _emb_double()
     bucket = None
     for j in range(4):
@@ -1109,7 +1161,7 @@ def q_ann_lsh_topk_batch(spark, sf_dir):
     vectors at once, each answered from ONLY its LSH bucket via a broadcast
     equi-join on bucket (no crossJoin, no all-pairs), exact cosine + window
     top-3 per query inside the bucket."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _ts(spark, sf_dir, "embeddings")
     ee = _emb_double()
     bucket = None
     for j in range(4):
@@ -1165,7 +1217,7 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
     hyperplane. Still never all-pairs: 5 bucket equi-joins' worth of
     candidates per query (the query side explodes 5x, the corpus side is
     scanned once), exact cosine + window top-3 across all probes."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _ts(spark, sf_dir, "embeddings")
     ee = _emb_double()
     bucket = None
     for j in range(4):
@@ -1230,7 +1282,7 @@ def q_embedding_near_dup_pairs(spark, sf_dir):
     prefilter-then-exact-confirm dedup design. The 0.3 threshold is
     calibrated to the fixture's random-embedding tail (its max pairwise
     cosine is ~0.46); real corpora use ~0.9+ with more planes."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _ts(spark, sf_dir, "embeddings")
     ee = _emb_double()
     bucket = None
     for j in range(4):
@@ -1303,7 +1355,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     search ONLY their own cell (nprobe=1) with exact cosine + window top-3.
     At corpus scale cells come from a trained k-means; the deterministic
     centroids keep the oracle exact."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _ts(spark, sf_dir, "embeddings")
     ee = _emb_double()
     dots = F.array(*[_dot(ee, _ivf_centroid(k)) for k in range(_IVF_K)])
     cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
@@ -1387,7 +1439,7 @@ def _ivf_trained_train(spark, sf_dir):
     the centroid table (K·D = 512 rows) broadcasts; each Lloyd round is one
     broadcast join + two partial-agg shuffles of key-sized data. At corpus
     scale the init seeds come from the same md5 order over a sample."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _ts(spark, sf_dir, "embeddings")
     lv = F.transform(
         _emb_double(),
         lambda x: F.greatest(
@@ -1587,7 +1639,7 @@ def q_ann_index_cells(spark, sf_dir):
     is not driver-hashable)."""
     from .corpus import ann_enrich
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     out = ann_enrich(d, "text", id_col="doc_id")
     l1 = F.aggregate("emb", F.lit(0.0), lambda a, x: a + F.abs(x))
     nnz = F.size(F.filter("emb", lambda x: x != 0))
@@ -1647,6 +1699,8 @@ def q_stratified_sample(spark, sf_dir):
     strata 25%. Scales as a pure per-row filter: no shuffle, no sort, no
     driver state; the hash threshold is an embarrassingly parallel
     predicate that Catalyst pushes into the scan."""
+    # no _spread: shuffle-freedom IS the operator's scale property
+    # (plan-pinned: zero Exchange nodes)
     d = _t(spark, sf_dir, "documents")
     # first 4 md5 hex chars of (lang|doc_id) -> uniform int in [0, 65536)
     frac = F.conv(
@@ -1685,7 +1739,7 @@ def q_token_pack(spark, sf_dir):
     (lang), so strata pack in parallel — but one dominant language is one
     window task; the corpus-scale form is token_pack_sharded below, whose
     (lang, shard) key bounds every window's input."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     tok = F.ceil(F.length("text") / 4.0).cast("long")
     w = (
         Window.partitionBy("lang")
@@ -1728,7 +1782,7 @@ def q_token_pack_sharded(spark, sf_dir):
     to the 8192-token budget, which is exactly the semantics a distributed
     packer wants (packs never straddle shards, so shards pack with zero
     coordination)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     tok = F.ceil(F.length("text") / 4.0).cast("long")
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
@@ -1792,7 +1846,7 @@ def q_host_pagerank(spark, sf_dir):
     dst-keyed partial agg; 3 unrolled rounds, one Catalyst plan."""
     from .graph import integer_pagerank
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     edges = d.select(
         (F.col("doc_id") % 20).cast("long").alias("src"),
         ((F.col("doc_id") * 31 + 7) % 20).cast("long").alias("dst"),
@@ -1840,14 +1894,8 @@ def q_benchmark_decontaminate(spark, sf_dir):
     all-pairs), then one count-distinct per doc. At 100 TB the train side
     streams map-side through the broadcast hash set; only the tiny hit set
     shuffles into the per-doc count."""
-    d = _t(spark, sf_dir, "documents")
-    sh5 = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 5 THEN "
-        " transform(sequence(1, size(split(text, ' ')) - 4), "
-        "   i -> array_join(slice(split(text, ' '), i, 5), ' ')) "
-        "ELSE array() END"
-    )
-    sh = d.select("doc_id", F.explode(sh5).alias("s"))
+    d = _ts(spark, sf_dir, "documents")
+    sh = _with_words(d).select("doc_id", F.explode(_gram_expr(5)).alias("s"))
     ev = sh.where("doc_id < 20").select("s").distinct()
     tr = sh.where("doc_id >= 20")
     return (
@@ -1989,6 +2037,8 @@ def q_doc_length_approx_percentiles(spark, sf_dir):
     pass. Approx values are engine-specific, so the driver check is
     rows-only; the local pytest oracle bounds each estimate against
     DuckDB's exact quantiles with the sketch's accuracy parameter."""
+    # no _spread: GK-sketch estimates are merge-order-sensitive, so the
+    # committed values must not depend on a local repartition
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.expr(
@@ -2006,7 +2056,7 @@ def q_frequent_terms(spark, sf_dir):
     count, global top-20 (count DESC, term ASC). The per-term partial
     aggregation is map-side combined; the global top-k is a
     TakeOrderedAndProject over per-partition heads, never a full sort."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
@@ -2026,7 +2076,7 @@ GROUP BY s ORDER BY n DESC, term ASC LIMIT 20
 def q_doc_length_percentiles(spark, sf_dir):
     """Exact interpolated percentiles of document length per lang (corpus
     quality profiling; Spark `percentile` == DuckDB `quantile_cont`)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return (
         d.groupBy("lang")
         .agg(
@@ -2096,7 +2146,7 @@ def q_crawl_delay_schedule(spark, sf_dir):
     """Per-host crawl-delay pacing (robots crawl_delay_ms semantics):
     within each host, the k-th scheduled URL's planned fetch time is
     t0 + (k-1) * delay(host) — a window rank + timestamp arithmetic."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     host = (F.col("doc_id") % 20).cast("int")
     w = Window.partitionBy(host).orderBy("doc_id")
     rk = F.row_number().over(w)
@@ -2135,7 +2185,7 @@ def q_user_sessions(spark, sf_dir):
     classic gaps-and-islands SQL (a new session starts when the gap to the
     previous event is >= the window's gapDuration, matching Spark's
     [start, last+gap) semantics)."""
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     return (
         e.groupBy(
             "user_id", F.session_window(F.col("ts"), "1 hour").alias("w")
@@ -2175,7 +2225,7 @@ def q_corpus_enrich(spark, sf_dir):
     quality stats, token estimate, language ID, MinHash-LSH near-dup group."""
     from .corpus import enrich
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     return enrich(d, "doc_id", "text").select(
         "doc_id", "fp", "n_words", "avg_token_len", "stop_ratio",
         "est_bpe_tokens", "predicted_lang", "nd_group",

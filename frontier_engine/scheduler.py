@@ -619,26 +619,44 @@ class FrontierScheduler:
         delays = self.robots.select("host", "crawl_delay_ms")
         if self._robots_small:
             delays = F.broadcast(delays)
-        scheduled_out = (
-            scheduled.withColumn("cycle", F.lit(cycle))
-            .withColumn("fetch_seq", F.row_number().over(wb))
-            .join(delays, "host", "left")
-            .withColumn(
-                "planned_fetch_ts",
-                F.expr(
-                    "timestampadd(MILLISECOND, CAST((rk - 1) * "
-                    "coalesce(crawl_delay_ms, 0) AS BIGINT), "
-                    f"TIMESTAMP'{base_ts}')"
-                ),
+
+        def _with_seq(df):
+            """fetch_seq + planned_fetch_ts over an already-partitioned
+            frame: the window reuses the incoming hashpartitioning (its
+            ClusteredDistribution(host_bucket) is satisfied), so the only
+            sort is the window's own — which is exactly the queue order,
+            making a separate sortWithinPartitions redundant (the rows
+            reach the writer in (host_bucket, priority DESC, crawl_ts,
+            url_hash) order, identical per bucket-dir to the old
+            window→repartition→re-sort spelling, one Exchange + one Sort
+            cheaper per cycle)."""
+            return (
+                df.withColumn("fetch_seq", F.row_number().over(wb))
+                .join(delays, "host", "left")
+                .withColumn(
+                    "planned_fetch_ts",
+                    F.expr(
+                        "timestampadd(MILLISECOND, CAST((rk - 1) * "
+                        "coalesce(crawl_delay_ms, 0) AS BIGINT), "
+                        f"TIMESTAMP'{base_ts}')"
+                    ),
+                )
+                .drop("crawl_delay_ms")
+                .select(*schemas.SCHEDULED.fieldNames())
             )
-            .drop("crawl_delay_ms")
-        )
-        # the priority queue, physically: (salted) repartition + local sort.
-        # salt_factor > 1 splits hot buckets across tasks; fetch_seq already
-        # carries the total crawl order, so salting never changes results.
+
+        # the priority queue, physically: (salted) repartition + the window
+        # sort. salt_factor > 1 splits hot buckets across tasks; fetch_seq
+        # already carries the total crawl order, so salting never changes
+        # results. In the salted case fetch_seq must still rank the WHOLE
+        # bucket in one window task, so the salt split happens after it.
+        scheduled_c = scheduled.withColumn("cycle", F.lit(cycle))
         if salt_factor > 1:
             scheduled_out = (
-                scheduled_out.withColumn(
+                _with_seq(
+                    scheduled_c.repartition(cfg.n_buckets, "host_bucket")
+                )
+                .withColumn(
                     "_salt", F.pmod(F.col("url_hash"), F.lit(salt_factor))
                 )
                 .repartition(
@@ -650,12 +668,8 @@ class FrontierScheduler:
                 .select(*schemas.SCHEDULED.fieldNames())
             )
         else:
-            scheduled_out = (
-                scheduled_out.select(*schemas.SCHEDULED.fieldNames())
-                .repartition(cfg.n_buckets, "host_bucket")
-                .sortWithinPartitions(
-                    F.desc("priority"), F.asc("crawl_ts"), F.asc("url_hash")
-                )
+            scheduled_out = _with_seq(
+                scheduled_c.repartition(cfg.n_buckets, "host_bucket")
             )
 
         url_seen_delta = ingested.select(
