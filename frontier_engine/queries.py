@@ -172,7 +172,13 @@ SELECT host, doc_id, priority, rk FROM (
 
 def q_lineage_counts(spark, sf_dir):
     """Per-partition lineage aggregation shape (count/sum/countDistinct)."""
-    e = _ts(spark, sf_dir, "events")
+    # no _spread: sum(value) is a DOUBLE sum — float addition is not
+    # associative, so a repartition changes the partial-agg order and can
+    # shift the rounded result off the oracle (and across runs: the final
+    # merge combines partials in task-completion order). The single-split
+    # scan keeps one deterministic partial per group, matching DuckDB's
+    # single-threaded file-order sum.
+    e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 3).alias("sum_value"),
@@ -189,6 +195,9 @@ FROM events GROUP BY event_type
 
 def q_lineage_rollup(spark, sf_dir):
     """ROLLUP lineage report (cycle/bucket analog on lineitem flags)."""
+    # _spread is exactness-safe here: l_quantity is integer-valued, so its
+    # double sum is exact (< 2^53) and order-independent — unlike the
+    # fractional-price sums in pricing_summary/top_customers
     li = _ts(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -370,7 +379,10 @@ SQL_ROBOTS_LONGEST_MATCH = _sql_robots_longest_match()
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark, sf_dir):
-    li = _ts(spark, sf_dir, "lineitem")
+    # no _spread: sum(l_extendedprice ...) are DOUBLE sums (see
+    # q_lineage_counts) — a repartition changed the addition order and
+    # shifted sum_disc by one cent off the DuckDB oracle at sf0.1.
+    li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(
             F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
@@ -403,8 +415,9 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_top_customers(spark, sf_dir):
     """Broadcast dim join + agg + deterministic top-k."""
-    o = _ts(spark, sf_dir, "orders")
-    c = _ts(spark, sf_dir, "customer")
+    # no _spread: sum(o_totalprice) is a DOUBLE sum (see q_lineage_counts)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
     return (
         o.groupBy("o_custkey")
         .agg(
@@ -499,7 +512,8 @@ def q_time_buckets(spark, sf_dir):
     """Tumbling time-bucket aggregation (hourly). The bucket key is the
     wall-clock hour as a string: ts is TIMESTAMP_NTZ and Spark's date_trunc
     would round-trip it through the session timezone."""
-    e = _ts(spark, sf_dir, "events")
+    # no _spread: sum(value) is a DOUBLE sum (see q_lineage_counts)
+    e = _t(spark, sf_dir, "events")
     hour_key = F.substring(F.col("ts").cast("string"), 1, 13)
     return (
         e.groupBy(hour_key.alias("hour_key"))
@@ -537,7 +551,10 @@ def q_approx_distinct_users(spark, sf_dir):
 def q_salted_group_agg(spark, sf_dir):
     """Skew-safe two-phase salted aggregation; must equal the plain GROUP BY
     (salting is a physical knob, never a semantic one)."""
-    e = _ts(spark, sf_dir, "events")
+    # no _spread: sum(value) is a DOUBLE sum (see q_lineage_counts) — the
+    # salted partials are per-(user_id, salt) either way, but the SCAN
+    # split decides which rows share a partial within each salt group
+    e = _t(spark, sf_dir, "events")
     partial = (
         e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
         .groupBy("user_id", "salt")
