@@ -181,6 +181,7 @@ def rank_by_budget(
     budgets: DataFrame,
     default_budget: int,
     salt: int = 1,
+    bucketed: bool = False,
 ) -> DataFrame:
     """Adds ``rk`` (per-host rank in crawl order, exact for every row with
     rk <= budget) and ``budget``; the caller schedules rk <= budget.
@@ -199,13 +200,21 @@ def rank_by_budget(
     survivor-rank == true rank. rk values > budget are not meaningful ranks
     (only the `> budget` comparison is used; rk/budget are dropped before
     any write).
+
+    ``bucketed=True`` (single-window mode only): the caller has already
+    hash-partitioned ``eligible`` by host_bucket, so the window partitions
+    by (host_bucket, host) — host_bucket is a pure function of host, so
+    the per-host rank is IDENTICAL, but HashPartitioning(host_bucket)
+    satisfies the composite ClusteredDistribution and the window runs
+    with NO exchange of its own (guide §2.4).
     """
     withb = (
         eligible.join(F.broadcast(budgets), "host", "left")
         .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
     )
     if salt <= 1:
-        w = Window.partitionBy("host").orderBy(*_ORDER())
+        keys = ["host_bucket", "host"] if bucketed else ["host"]
+        w = Window.partitionBy(*keys).orderBy(*_ORDER())
         return withb.withColumn("rk", F.row_number().over(w).cast("long"))
     pre = Window.partitionBy(
         "host", F.pmod(F.col("url_hash"), F.lit(salt))

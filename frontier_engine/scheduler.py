@@ -476,14 +476,38 @@ class FrontierScheduler:
         pending_all = (
             ingested if fresh_start else pending_prev.unionByName(ingested)
         )
-        _p(pending_all)
+        # not persisted: its ONLY consumer is the with_robots frame, which
+        # is itself cached below — a second cache layer here would just pay
+        # an extra full-frontier cache write+read per cycle
         tick("dedup+union pending", pending_all)
 
         # ---- 2. robots (SkipContainer analog) -----------------------------
+        # Single-window mode: establish the bucket partitioning HERE, once,
+        # for the whole downstream chain (guide §2.4 "two operations keyed
+        # the same way share one exchange"). host_bucket = f(host), so
+        # HashPartitioning(host_bucket) satisfies the politeness window's
+        # ClusteredDistribution(host_bucket, host) AND the queue window's
+        # ClusteredDistribution(host_bucket) — the per-host rank and
+        # fetch_seq are byte-identical, but the separate Exchange(host)
+        # for the budget window and Exchange(host_bucket) for the queue
+        # collapse into this one exchange (the lineage aggregations over
+        # with_robots/ranked become exchange-free partial aggs too). The
+        # salted two-phase window deliberately SPLITS a host across tasks,
+        # so it keeps its own (host, salt) exchange and skips this one.
+        bucketed_window = politeness_salt <= 1
+        if bucketed_window:
+            pending_all = pending_all.repartition(
+                cfg.n_buckets, "host_bucket"
+            )
         with_robots = apply_robots(
             pending_all, self.robots, rfc=cfg.robots_rfc,
             small=self._robots_small,
         )
+        # persist: three consumers (the ranked window build, the skipped
+        # slice of the resolved write, and lineage's m_scan agg) — without
+        # the cache each re-ran the robots rule join + path regex over the
+        # full frontier (one pass per consumer per cycle)
+        _p(with_robots)
         skipped = with_robots.where("blocked")
         eligible = with_robots.where("NOT blocked").drop("blocked")
 
@@ -520,7 +544,7 @@ class FrontierScheduler:
             ).unionByName(halved)
         ranked = rank_by_budget(
             eligible, budgets_dim, cfg.default_budget,
-            salt=politeness_salt,
+            salt=politeness_salt, bucketed=bucketed_window,
         )
         _p(ranked)
         tick("robots+budget window", ranked)
@@ -584,7 +608,6 @@ class FrontierScheduler:
             .select(*schemas.PENDING.fieldNames())
             .withColumn("retries", F.col("retries") + 1)
         )
-        errored = miss.where(F.col("retries") >= cfg.retry_limit)
 
         next_dts = T0 + timedelta(hours=cycle)
         discoveries_next = done.select(
@@ -651,11 +674,16 @@ class FrontierScheduler:
         # results. In the salted case fetch_seq must still rank the WHOLE
         # bucket in one window task, so the salt split happens after it.
         scheduled_c = scheduled.withColumn("cycle", F.lit(cycle))
+        if bucketed_window:
+            # already HashPartitioning(host_bucket) end-to-end from the
+            # pre-robots repartition (preserved through the cached window
+            # output) — re-partitioning here would be a redundant exchange
+            seq_in = scheduled_c
+        else:
+            seq_in = scheduled_c.repartition(cfg.n_buckets, "host_bucket")
         if salt_factor > 1:
             scheduled_out = (
-                _with_seq(
-                    scheduled_c.repartition(cfg.n_buckets, "host_bucket")
-                )
+                _with_seq(seq_in)
                 .withColumn(
                     "_salt", F.pmod(F.col("url_hash"), F.lit(salt_factor))
                 )
@@ -668,9 +696,7 @@ class FrontierScheduler:
                 .select(*schemas.SCHEDULED.fieldNames())
             )
         else:
-            scheduled_out = _with_seq(
-                scheduled_c.repartition(cfg.n_buckets, "host_bucket")
-            )
+            scheduled_out = _with_seq(seq_in)
 
         url_seen_delta = ingested.select(
             "url_hash",
@@ -678,16 +704,19 @@ class FrontierScheduler:
             F.lit(cycle).alias("first_seen_cycle"),
         )
 
+        # done + errored in ONE pass over the fetched cache (same row set as
+        # the two separate branch scans: ok -> done, terminal miss -> error;
+        # retriable rows are excluded by the where), plus the skipped slice
+        # of the persisted with_robots frame
         resolved = (
-            done.select(
-                F.lit(cycle).alias("cycle"), "url_hash", "host_bucket",
-                F.lit("done").alias("state"),
+            fetched.where(
+                F.col("ok") | (F.col("retries") >= cfg.retry_limit)
             )
-            .unionByName(
-                errored.select(
-                    F.lit(cycle).alias("cycle"), "url_hash", "host_bucket",
-                    F.lit("error").alias("state"),
-                )
+            .select(
+                F.lit(cycle).alias("cycle"), "url_hash", "host_bucket",
+                F.when(F.col("ok"), F.lit("done"))
+                .otherwise(F.lit("error"))
+                .alias("state"),
             )
             .unionByName(
                 skipped.select(
