@@ -487,103 +487,105 @@ def rebuild_filters(spark, io, cycle: int, cfg, consolidate: bool = False) -> di
     # the CONSOLIDATED view instead: base + O(compact_every) tail dirs —
     # the same row set as unioning every delta dir since cycle 1, without
     # the O(cycles) dir-union pathology compaction exists to prevent.
-    if prev_found == 0:
-        delta = io.read_appended(spark, "url_seen", cycle, schemas.URL_SEEN)
-    else:
-        delta = io.read_delta_range(
-            spark, "url_seen", prev_found + 1, cycle, schemas.URL_SEEN
-        )
+    #
+    # CO-LOCATE instead of shuffle (guide §8): url_seen is committed
+    # hive-partitioned by host_bucket, so the insert source is already
+    # laid out one-file-per-bucket on disk. The old path re-shuffled the
+    # whole delta (a full-frontier Exchange + Arrow boundary per cycle)
+    # only to regroup rows the write had ALREADY grouped; instead the
+    # driver lists each bucket's files from the committed dirs (manifest
+    # walk + footer metadata, no Spark job — this also replaces the
+    # fresh-capacity count-agg job with parquet row counts) and one task
+    # per bucket streams its own files' row groups straight into the
+    # filter. Split-safety is by construction: a task owns whole buckets,
+    # never a byte range of one.
+    import glob as _glob
 
-    # Both build stages run as mapInPandas ITERATORS over data repartitioned
-    # by host_bucket: a task streams its buckets' rows batch by batch and
-    # holds only the filters under construction — never a whole bucket's
-    # url_seen in one pandas frame (at 10^10/64 URLs that frame alone is
-    # GBs; the bloom being built is ~12 bits/item). Fresh-filter capacities
-    # come from a tiny driver-side count per bucket — but ONLY when some
-    # bucket actually lacks a previous filter: once every bucket is covered
-    # the incremental upsert never consults cap, and the count would be a
-    # whole extra scan of the delta per cycle for nothing (measured ~0.3-
-    # 0.5 s/cycle of the round-3 headline regression). If a covered
-    # bucket's row turns out unreadable anyway, the fallback capacity is
-    # the first batch's size — an undersized cuckoo then overflows into
-    # the bloom rebuild below, so correctness never depends on cap.
-    missing = [b for b in range(cfg.n_buckets) if b not in prev_loc]
-    if not missing:
-        cap = {}
+    import pyarrow.parquet as _pq
+
+    if prev_found == 0:
+        dirs = io.appended_dirs("url_seen", cycle)
     else:
-        # restrict the scan to the buckets that actually lack a filter:
-        # the deltas are hive-partitioned by host_bucket, so the isin
-        # predicate partition-prunes — a store whose hosts occupy only
-        # 60/64 buckets (prev_loc can never reach n_buckets) reads the 4
-        # empty dirs at ~zero cost instead of paying the full-delta
-        # aggregation every cycle forever
-        cap = {
-            int(r["host_bucket"]): int(r["n"])
-            for r in delta.where(
-                F.col("host_bucket").isin(missing)
-            )
-            .groupBy("host_bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        dirs = io.delta_range_dirs("url_seen", prev_found + 1, cycle)
+    files_by_bucket: dict = {}
+    cap: dict = {}
+    for d in dirs:
+        for f in sorted(
+            _glob.glob(os.path.join(d, "host_bucket=*", "*.parquet"))
+        ):
+            b = int(f.split("host_bucket=")[1].split(os.sep)[0])
+            files_by_bucket.setdefault(b, []).append(f)
+            cap[b] = cap.get(b, 0) + _pq.ParquetFile(f).metadata.num_rows
     out_schema = T.StructType.fromDDL(_FILTER_ROW_SCHEMA_DDL)
 
     def upsert_batches(batches):
-        import pandas as _pd
         import numpy as _np
+        import pandas as _pd
+        import pyarrow.parquet as _apq
 
-        state: dict = {}  # bucket -> [filter, ok]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            h_all = pdf["url_hash"].to_numpy().astype(_np.int64).view(_np.uint64)
-            for b, idx in pdf.groupby("host_bucket").indices.items():
-                b = int(b)
-                st = state.get(b)
-                if st is None:
-                    f = None
-                    pc = prev_loc.get(b)
-                    if pc is not None:
-                        f = load_bucket_filter(root, pc, b, writable=True)
-                    if f is None:
-                        n = cap.get(b, len(idx))
-                        if n <= _CUCKOO_MAX_ITEMS:
-                            f = CuckooFilter.with_capacity(max(n * 4, 1024))
-                        else:
-                            f = BloomFilter.with_capacity(n)
-                    st = state[b] = [f, True]
-                if st[1]:
-                    # skip hashes the filter already reports present: in
-                    # recrawl-TTL mode the same url_hash writes a fresh
-                    # url_seen delta row per recrawl, and duplicate cuckoo
-                    # inserts consume fresh slots — after ~2*_SLOTS
-                    # recrawls of a hot URL the bucket would overflow into
-                    # a full-history bloom rebuild. Skipping is sound with
-                    # no deletion support: a "present" answer never needs
-                    # reinforcing (bloom re-insert is a bit-identical
-                    # no-op; a colliding cuckoo fingerprint already
-                    # answers maybe-seen forever).
-                    h = h_all[idx]
-                    fresh = ~st[0].contains_many(h)
-                    if fresh.any():
-                        st[1] = st[0].insert_many(h[fresh])
         rows = []
-        for b, (f, ok) in state.items():
-            r = f.to_row() if ok else {"kind": None, "n_bits": None, "data": None}
-            r["host_bucket"] = b
-            r["status"] = "ok" if ok else "overflow"
-            rows.append(r)
+        for pdf in batches:
+            for b in pdf["host_bucket"]:
+                b = int(b)
+                f = None
+                pc = prev_loc.get(b)
+                if pc is not None:
+                    f = load_bucket_filter(root, pc, b, writable=True)
+                if f is None:
+                    n = cap.get(b, 0)
+                    if n <= _CUCKOO_MAX_ITEMS:
+                        f = CuckooFilter.with_capacity(max(n * 4, 1024))
+                    else:
+                        f = BloomFilter.with_capacity(n)
+                ok = True
+                for path in files_by_bucket[b]:
+                    pf = _apq.ParquetFile(path)
+                    for rb in pf.iter_batches(
+                        columns=["url_hash"], batch_size=1 << 16
+                    ):
+                        # skip hashes the filter already reports present:
+                        # in recrawl-TTL mode the same url_hash writes a
+                        # fresh url_seen delta row per recrawl, and
+                        # duplicate cuckoo inserts consume fresh slots —
+                        # after ~2*_SLOTS recrawls of a hot URL the bucket
+                        # would overflow into a full-history bloom
+                        # rebuild. Skipping is sound with no deletion
+                        # support: a "present" answer never needs
+                        # reinforcing.
+                        h = (
+                            rb.column(0)
+                            .to_numpy(zero_copy_only=False)
+                            .astype(_np.int64)
+                            .view(_np.uint64)
+                        )
+                        fresh = ~f.contains_many(h)
+                        if fresh.any():
+                            ok = f.insert_many(h[fresh])
+                            if not ok:
+                                break
+                    if not ok:
+                        break
+                r = (
+                    f.to_row()
+                    if ok
+                    else {"kind": None, "n_bits": None, "data": None}
+                )
+                r["host_bucket"] = b
+                r["status"] = "ok" if ok else "overflow"
+                rows.append(r)
         yield _pd.DataFrame(rows, columns=_ROW_COLS)
 
+    touched = sorted(files_by_bucket)
     upsert_df = (
-        delta.select("host_bucket", "url_hash")
-        .repartition(cfg.n_buckets, "host_bucket")
+        spark.createDataFrame([(b,) for b in touched], "host_bucket INT")
+        # round-robin over the touched buckets: one task per bucket (the
+        # row IS the bucket — any task assignment is correct)
+        .repartition(max(1, len(touched)))
         .mapInPandas(upsert_batches, out_schema)
     )
     rel = f"filters/cycle={cycle}/stage=upsert"
-    # hive-partition by host_bucket (input is already repartitioned on it,
-    # so this is one file per bucket, not tasks x buckets tiny files);
-    # readers then open exactly their bucket's file
+    # hive-partition by host_bucket (one row per task -> one file per
+    # bucket dir); readers then open exactly their bucket's file
     io._write_df(upsert_df, rel, ["host_bucket"])
     # Status read-back: driver-side pyarrow over the per-bucket files'
     # status column only — NOT a Spark job (the round-3 spark.read +

@@ -182,9 +182,11 @@ class TableIO:
             os.path.join(self.root, m["tables"][name])
         )
 
-    def read_appended(self, spark, name: str, through_cycle: int, schema):
-        """Union of committed deltas of an append table up to cycle k,
-        starting from the most recent consolidated base ≤ k (if any)."""
+    def appended_dirs(self, name: str, through_cycle: int) -> list[str]:
+        """Committed dirs of an append table through cycle k (newest base
+        ≤ k, then the deltas after it) — the path walk behind
+        ``read_appended``, exposed so metadata-driven consumers (e.g. the
+        per-bucket filter build) can reach the files without a Spark scan."""
         paths = []
         start = 1
         base_name = f"{name}_base"
@@ -198,7 +200,14 @@ class TableIO:
             m = self.manifest(c)
             if m and name in m["tables"]:
                 paths.append(os.path.join(self.root, m["tables"][name]))
-        return self._union_paths(spark, paths, schema)
+        return paths
+
+    def read_appended(self, spark, name: str, through_cycle: int, schema):
+        """Union of committed deltas of an append table up to cycle k,
+        starting from the most recent consolidated base ≤ k (if any)."""
+        return self._union_paths(
+            spark, self.appended_dirs(name, through_cycle), schema
+        )
 
     def _union_paths(self, spark, paths, schema):
         """Union several delta dirs. Each dir is itself hive-partitioned (by
@@ -243,16 +252,25 @@ class TableIO:
                 paths.append(os.path.join(self.root, m["tables"][name]))
         return self._union_paths(spark, paths, schema)
 
-    def read_delta_range(
-        self, spark, name: str, from_cycle: int, to_cycle: int, schema
-    ):
-        """Union of an append table's deltas in [from_cycle, to_cycle]."""
+    def delta_range_dirs(
+        self, name: str, from_cycle: int, to_cycle: int
+    ) -> list[str]:
+        """Committed delta dirs of an append table in [from_cycle,
+        to_cycle] (path walk behind ``read_delta_range``)."""
         paths = []
         for c in range(from_cycle, to_cycle + 1):
             m = self.manifest(c)
             if m and name in m["tables"]:
                 paths.append(os.path.join(self.root, m["tables"][name]))
-        return self._union_paths(spark, paths, schema)
+        return paths
+
+    def read_delta_range(
+        self, spark, name: str, from_cycle: int, to_cycle: int, schema
+    ):
+        """Union of an append table's deltas in [from_cycle, to_cycle]."""
+        return self._union_paths(
+            spark, self.delta_range_dirs(name, from_cycle, to_cycle), schema
+        )
 
     # URL-seen membership filters are ordinary parquet rows under
     # filters/cycle=<k>/ written through _write_df and located via manifest
