@@ -90,7 +90,11 @@ def q_url_hash_keys(spark, sf_dir):
 
 def q_dedup_keep_first(spark, sf_dir):
     """Window keep-first dedup (row_number == 1) by a coarse key."""
-    d = _ts(spark, sf_dir, "documents")
+    # plain read: the window's own Exchange is the first operator, and its
+    # map side is bounded by the scan's split count either way — an extra
+    # spread shuffle ahead of a shuffle-first plan is pure waste (measured
+    # 2x on politeness_budget at the 10x fixture)
+    d = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("n_chars").orderBy("doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
@@ -106,7 +110,7 @@ SELECT n_chars, MIN(doc_id) AS first_doc_id FROM documents GROUP BY n_chars
 
 def q_anti_join_new(spark, sf_dir):
     """URL-seen dedup shape: left ANTI join against a seen-set on a hash key."""
-    d = _ts(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    d = _t(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
     seen = d.where("source = 'src0'").select("h")
     return d.join(seen, "h", "left_anti").select("doc_id")
 
@@ -123,7 +127,9 @@ WHERE NOT EXISTS (
 def q_politeness_budget(spark, sf_dir):
     """The flagship politeness window: per-key rank over a total order,
     budget cut at 5 (events.user_id plays the host)."""
-    e = _ts(spark, sf_dir, "events")
+    # plain read: shuffle-first plan (see q_dedup_keep_first) — the spread
+    # repartition doubled this query's time at the 10x fixture
+    e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.desc("value"), F.asc("ts"), F.asc("event_id")
     )
@@ -146,7 +152,7 @@ SELECT user_id, event_id, rk FROM (
 
 def q_priority_topk(spark, sf_dir):
     """Per-host top-k by priority with deterministic tiebreak."""
-    d = _ts(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.lit("host"), (F.col("doc_id") % 20).cast("string")).alias("host"),
         (F.col("n_chars") % 10).cast("int").alias("priority"),
@@ -195,10 +201,10 @@ FROM events GROUP BY event_type
 
 def q_lineage_rollup(spark, sf_dir):
     """ROLLUP lineage report (cycle/bucket analog on lineitem flags)."""
-    # _spread is exactness-safe here: l_quantity is integer-valued, so its
-    # double sum is exact (< 2^53) and order-independent — unlike the
-    # fractional-price sums in pricing_summary/top_customers
-    li = _ts(spark, sf_dir, "lineitem")
+    # plain read: agg-first plan (see q_dedup_keep_first). (A spread here
+    # would also be exactness-safe — l_quantity is integer-valued so its
+    # double sum is exact and order-independent — but it buys nothing.)
+    li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -249,7 +255,7 @@ GROUP BY event_type
 
 def q_set_except_users(spark, sf_dir):
     """Set difference: clickers who never purchased (EXCEPT)."""
-    e = _ts(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     clicks = e.where("event_type = 'click'").select("user_id").distinct()
     buys = e.where("event_type = 'purchase'").select("user_id").distinct()
     return clicks.subtract(buys)
@@ -442,8 +448,8 @@ ORDER BY total DESC, o_custkey ASC LIMIT 10
 
 def q_customers_no_orders(spark, sf_dir):
     """Left ANTI join (the URL-seen shape on the star schema)."""
-    o = _ts(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    c = _ts(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    c = _t(spark, sf_dir, "customer")
     return c.join(o, "c_custkey", "left_anti").select("c_custkey")
 
 
@@ -455,8 +461,8 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 def q_customers_with_orders(spark, sf_dir):
     """Left SEMI join companion."""
-    o = _ts(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    c = _ts(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    c = _t(spark, sf_dir, "customer")
     return (
         c.join(o, "c_custkey", "left_semi")
         .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
@@ -471,7 +477,7 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 def q_latest_event_per_user(spark, sf_dir):
     """As-of/latest-per-key (latest robots per host analog)."""
-    e = _ts(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -529,7 +535,7 @@ FROM events GROUP BY 1
 
 
 def q_distinct_users_exact(spark, sf_dir):
-    e = _ts(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
@@ -542,7 +548,7 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
 
 def q_approx_distinct_users(spark, sf_dir):
     """HLL++ cardinality (approx — engines differ, rows-only check)."""
-    e = _ts(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users")
     )
@@ -577,7 +583,7 @@ FROM events GROUP BY user_id
 
 def q_exact_dedup_docs(spark, sf_dir):
     """Exact dedup by full-content hash (hash-groupBy)."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     return (
         d.withColumn("text_hash", F.md5("text"))
         .groupBy("text_hash")
@@ -789,7 +795,7 @@ def q_neardup_components(spark, sf_dir):
 
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    vertices = _ts(spark, sf_dir, "documents").select(
+    vertices = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
     )
     comp, _rounds = connected_components_star(edges, vertices)
@@ -1063,7 +1069,10 @@ def _dot(a, b):
 
 def q_embedding_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (JVM-side array math, no UDF)."""
-    e = _ts(spark, sf_dir, "embeddings")
+    # plain read: per-row 16-dim folds over a 20k-row dim table are
+    # trivial next to any shuffle — the spread repartition only added one
+    # (measured ~20% slower at the 10x fixture)
+    e = _t(spark, sf_dir, "embeddings")
     q = e.where("vec_id = 0").select(_emb_double().alias("qe"))
     cand = e.where("vec_id <> 0").select("vec_id", _emb_double().alias("ee"))
     cos = _dot(F.col("ee"), F.col("qe")) / (
@@ -1756,7 +1765,7 @@ def q_token_pack(spark, sf_dir):
     (lang), so strata pack in parallel — but one dominant language is one
     window task; the corpus-scale form is token_pack_sharded below, whose
     (lang, shard) key bounds every window's input."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     tok = F.ceil(F.length("text") / 4.0).cast("long")
     w = (
         Window.partitionBy("lang")
@@ -1799,7 +1808,7 @@ def q_token_pack_sharded(spark, sf_dir):
     to the 8192-token budget, which is exactly the semantics a distributed
     packer wants (packs never straddle shards, so shards pack with zero
     coordination)."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     tok = F.ceil(F.length("text") / 4.0).cast("long")
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
@@ -1863,7 +1872,7 @@ def q_host_pagerank(spark, sf_dir):
     dst-keyed partial agg; 3 unrolled rounds, one Catalyst plan."""
     from .graph import integer_pagerank
 
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     edges = d.select(
         (F.col("doc_id") % 20).cast("long").alias("src"),
         ((F.col("doc_id") * 31 + 7) % 20).cast("long").alias("dst"),
@@ -2093,7 +2102,7 @@ GROUP BY s ORDER BY n DESC, term ASC LIMIT 20
 def q_doc_length_percentiles(spark, sf_dir):
     """Exact interpolated percentiles of document length per lang (corpus
     quality profiling; Spark `percentile` == DuckDB `quantile_cont`)."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     return (
         d.groupBy("lang")
         .agg(
@@ -2163,7 +2172,7 @@ def q_crawl_delay_schedule(spark, sf_dir):
     """Per-host crawl-delay pacing (robots crawl_delay_ms semantics):
     within each host, the k-th scheduled URL's planned fetch time is
     t0 + (k-1) * delay(host) — a window rank + timestamp arithmetic."""
-    d = _ts(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     host = (F.col("doc_id") % 20).cast("int")
     w = Window.partitionBy(host).orderBy("doc_id")
     rk = F.row_number().over(w)
@@ -2202,7 +2211,7 @@ def q_user_sessions(spark, sf_dir):
     classic gaps-and-islands SQL (a new session starts when the gap to the
     previous event is >= the window's gapDuration, matching Spark's
     [start, last+gap) semantics)."""
-    e = _ts(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
             "user_id", F.session_window(F.col("ts"), "1 hour").alias("w")
