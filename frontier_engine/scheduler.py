@@ -1115,7 +1115,8 @@ class FrontierScheduler:
                     all_edges.select(
                         F.col("src_host").alias("src"),
                         F.col("dst_host").alias("dst"),
-                    )
+                    ),
+                    tracked=tracked,
                 )
                 tables["host_rank"] = (ranks.coalesce(1), None)
 
