@@ -392,13 +392,14 @@ def split_by_filter(cand: "DataFrame", io, through_cycle: int, cfg):
         cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
     )
 
-    # mapInPandas, NOT groupBy(host_bucket).applyInPandas: the candidates
-    # were just hash-partitioned by url_hash (the within-batch dedup agg), so
-    # a grouped-map would add a full extra shuffle AND require an entire
-    # bucket's candidates in one pandas frame. Instead every task tests its
-    # own Arrow batches, loading whichever buckets' filter rows it touches
-    # through the per-worker LRU (rows are immutable: cycle-keyed, never
-    # stale). Memory stays bounded by the Arrow batch + _CACHE_CAP filters.
+    # mapInPandas, NOT groupBy(host_bucket).applyInPandas: a grouped-map
+    # would add a full extra shuffle AND require an entire bucket's
+    # candidates in one pandas frame. Instead every task tests its own
+    # Arrow batches in place (mapInPandas is a narrow, per-partition map —
+    # the scheduler probes RAW candidates before any exchange), loading
+    # whichever buckets' filter rows it touches through the per-worker LRU
+    # (rows are immutable: cycle-keyed, never stale). Memory stays bounded
+    # by the Arrow batch + _CACHE_CAP filters.
     def check_batches(batches):
         import numpy as _np
 

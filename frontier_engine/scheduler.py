@@ -422,35 +422,51 @@ class FrontierScheduler:
 
         # within-batch dedup: keep max priority per key (all other columns
         # are functionally determined by the key within one batch)
-        cand_g = cand.groupBy("url_hash").agg(
-            F.min("url_canon").alias("url_canon"),
-            F.min("host").alias("host"),
-            F.min("host_bucket").alias("host_bucket"),
-            F.max("priority").alias("priority"),
-            F.min("discovered_ts").alias("discovered_ts"),
-        )
+        def _dedup_g(df):
+            return df.groupBy("url_hash").agg(
+                F.min("url_canon").alias("url_canon"),
+                F.min("host").alias("host"),
+                F.min("host_bucket").alias("host_bucket"),
+                F.max("priority").alias("priority"),
+                F.min("discovered_ts").alias("discovered_ts"),
+            )
 
         # seen dedup: cuckoo prefilter (definite-negatives bypass the exact
-        # anti-join; possibles are confirmed exactly — membership.py)
+        # anti-join; possibles are confirmed exactly — membership.py).
+        # The probe runs BEFORE the dedup agg: mapInPandas does not report
+        # its child's partitioning, so the old agg -> probe -> anti-join
+        # order re-shuffled the full candidate set a second time for the
+        # join. Probing raw candidates first lets each branch's aggregation
+        # exchange double as the anti-join's distribution — every candidate
+        # row now crosses exactly ONE url_hash exchange. Exactness: all
+        # rows of one url_hash share a filter classification (same hash,
+        # same filter answer), so per-branch aggregation equals aggregating
+        # before the split, row for row.
         tested_frame = None
         if fresh_start:
             # provably empty seen-set: every grouped candidate is new
-            new_keys = cand_g
+            new_keys = _dedup_g(cand)
         elif cfg.use_seen_filter:
             from .membership import split_by_filter
 
             definite_new, maybe_seen, tested_frame = split_by_filter(
-                cand_g, io, cycle - 1, cfg
+                cand, io, cycle - 1, cfg
             )
             if tested_frame is not None:  # persisted inside split_by_filter;
                 # None when no filter shard exists yet (e.g. the previous
                 # cycle ran with build_filters=False and none were ever
                 # committed) — appending None would crash the finally
                 tracked.append(tested_frame)
-            confirmed_new = maybe_seen.join(seen, "url_hash", "left_anti")
-            new_keys = definite_new.unionByName(confirmed_new)
+                confirmed_new = _dedup_g(maybe_seen).join(
+                    seen, "url_hash", "left_anti"
+                )
+                new_keys = _dedup_g(definite_new).unionByName(confirmed_new)
+            else:
+                # no filter shard exists yet: split_by_filter returned
+                # (empty, cand, None) — single agg + exact anti-join
+                new_keys = _dedup_g(cand).join(seen, "url_hash", "left_anti")
         else:
-            new_keys = cand_g.join(seen, "url_hash", "left_anti")
+            new_keys = _dedup_g(cand).join(seen, "url_hash", "left_anti")
 
         if ttl is not None and not fresh_start:
             # TTL mode: an expired seen row must not re-admit a URL that is
