@@ -498,23 +498,7 @@ class FrontierScheduler:
         tick("dedup+union pending", pending_all)
 
         # ---- 2. robots (SkipContainer analog) -----------------------------
-        # Single-window mode: establish the bucket partitioning HERE, once,
-        # for the whole downstream chain (guide §2.4 "two operations keyed
-        # the same way share one exchange"). host_bucket = f(host), so
-        # HashPartitioning(host_bucket) satisfies the politeness window's
-        # ClusteredDistribution(host_bucket, host) AND the queue window's
-        # ClusteredDistribution(host_bucket) — the per-host rank and
-        # fetch_seq are byte-identical, but the separate Exchange(host)
-        # for the budget window and Exchange(host_bucket) for the queue
-        # collapse into this one exchange (the lineage aggregations over
-        # with_robots/ranked become exchange-free partial aggs too). The
-        # salted two-phase window deliberately SPLITS a host across tasks,
-        # so it keeps its own (host, salt) exchange and skips this one.
         bucketed_window = politeness_salt <= 1
-        if bucketed_window:
-            pending_all = pending_all.repartition(
-                cfg.n_buckets, "host_bucket"
-            )
         with_robots = apply_robots(
             pending_all, self.robots, rfc=cfg.robots_rfc,
             small=self._robots_small,
@@ -558,6 +542,20 @@ class FrontierScheduler:
             budgets_dim = self.budgets.join(
                 backoff_hosts, "host", "left_anti"
             ).unionByName(halved)
+        # Single-window mode: repartition by host_bucket INSIDE the ranked
+        # plan and window over (host_bucket, host) — host_bucket = f(host),
+        # so the per-host rank is byte-identical, but the window's
+        # ClusteredDistribution is satisfied by the in-plan partitioning
+        # (subset rule) and no second exchange is planned. The repartition
+        # must live in THIS plan, not below a persist: a cached subplan is
+        # compiled under AQE (AdaptiveSparkPlan) and its InMemoryTableScan
+        # reports UnknownPartitioning to consumers — partitioning reuse
+        # never crosses a cache boundary here (measured: the window above
+        # the cached frame re-exchanged regardless). The salted two-phase
+        # window deliberately SPLITS a host across tasks and keeps its own
+        # (host, salt) exchange.
+        if bucketed_window:
+            eligible = eligible.repartition(cfg.n_buckets, "host_bucket")
         ranked = rank_by_budget(
             eligible, budgets_dim, cfg.default_budget,
             salt=politeness_salt, bucketed=bucketed_window,
@@ -690,13 +688,12 @@ class FrontierScheduler:
         # results. In the salted case fetch_seq must still rank the WHOLE
         # bucket in one window task, so the salt split happens after it.
         scheduled_c = scheduled.withColumn("cycle", F.lit(cycle))
-        if bucketed_window:
-            # already HashPartitioning(host_bucket) end-to-end from the
-            # pre-robots repartition (preserved through the cached window
-            # output) — re-partitioning here would be a redundant exchange
-            seq_in = scheduled_c
-        else:
-            seq_in = scheduled_c.repartition(cfg.n_buckets, "host_bucket")
+        # the explicit repartition stays: scheduled reads the RANKED CACHE,
+        # and cached subplans report UnknownPartitioning (see the ranked
+        # comment above) — without it EnsureRequirements would insert the
+        # same exchange at shuffle.partitions width, under-parallelizing
+        # the queue sort + partitioned write relative to n_buckets tasks
+        seq_in = scheduled_c.repartition(cfg.n_buckets, "host_bucket")
         if salt_factor > 1:
             scheduled_out = (
                 _with_seq(seq_in)
